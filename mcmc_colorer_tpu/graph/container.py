@@ -1,0 +1,216 @@
+"""Graph containers: host CSR + device ELL layout.
+
+The reference stores graphs as CSR ``cumulDegs``/``neighs`` arrays walked
+per-thread (reference src/graph/graph.h:37-79).  On TPU per-vertex pointer
+walks don't vectorize, so the device layout is a padded ELL matrix
+``neighbors[n_pad, deg_pad]`` (int32, sentinel-padded): every per-vertex
+neighbor scan becomes one vectorized gather, every occupancy test a
+compare/segment-reduce over a rectangular array — the shapes XLA tiles well.
+
+Undirected edges are stored in both directions (as the reference importer
+does, graphCPU.cpp:122-134); self-loops are dropped at construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import cached_property
+
+import numpy as np
+
+try:  # jax is required for the device layout but not for host-only use
+    import jax
+    import jax.numpy as jnp
+except ImportError:  # pragma: no cover
+    jax = None
+    jnp = None
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class Graph:
+    """Host-side graph: CSR over dense int node ids.
+
+    ``row_ptr``/``cols`` mirror the reference's ``cumulDegs``/``neighs``
+    (graph.h:37-79) with both directions of every undirected edge present.
+    ``node_names`` preserves the importer's string-id mapping
+    (fileImporter.cpp:20-62) when the graph came from a file.
+    """
+
+    n: int
+    row_ptr: np.ndarray          # (n+1,) int64
+    cols: np.ndarray             # (2m,) int32
+    node_names: list[str] | None = None
+    name: str = "graph"
+
+    # -- constructors ------------------------------------------------------
+
+    @staticmethod
+    def from_edges(
+        n: int,
+        src: np.ndarray,
+        dst: np.ndarray,
+        *,
+        both_directions_present: bool = False,
+        node_names: list[str] | None = None,
+        name: str = "graph",
+    ) -> "Graph":
+        """Build from an edge list.  Unless ``both_directions_present``,
+        each undirected edge appears once in (src, dst) and the reverse is
+        added here (reference graphCPU.cpp:122-134).  Self-loops dropped.
+        Duplicate edges are NOT deduplicated, matching the reference
+        (README.md:143 warns about them); use ``dedup_edges`` first if
+        needed."""
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        if not both_directions_present:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        order = np.argsort(src, kind="stable")
+        src_s, dst_s = src[order], dst[order]
+        counts = np.bincount(src_s, minlength=n)
+        row_ptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_ptr[1:])
+        return Graph(
+            n=n,
+            row_ptr=row_ptr,
+            cols=dst_s.astype(np.int32),
+            node_names=node_names,
+            name=name,
+        )
+
+    # -- properties --------------------------------------------------------
+
+    @cached_property
+    def degrees(self) -> np.ndarray:
+        return np.diff(self.row_ptr).astype(np.int32)
+
+    @property
+    def n_edges(self) -> int:
+        """Number of undirected edges (each stored twice in `cols`)."""
+        return int(self.cols.shape[0]) // 2
+
+    @cached_property
+    def max_degree(self) -> int:
+        return int(self.degrees.max()) if self.n else 0
+
+    @cached_property
+    def mean_degree(self) -> float:
+        return float(self.degrees.mean()) if self.n else 0.0
+
+    @property
+    def density(self) -> float:
+        if self.n < 2:
+            return 0.0
+        return 2.0 * self.n_edges / (self.n * (self.n - 1))
+
+    def neighbors_of(self, i: int) -> np.ndarray:
+        return self.cols[self.row_ptr[i] : self.row_ptr[i + 1]]
+
+    # -- validation (reference GraphStruct::is_valid, graph.h:56-63,
+    #    and CHECKRANDGRAPH duplicate/mirror checks, graphCPU.cpp:453-504) --
+
+    def validate(self) -> None:
+        assert self.row_ptr.shape == (self.n + 1,)
+        assert self.row_ptr[0] == 0 and self.row_ptr[-1] == self.cols.shape[0]
+        assert np.all(np.diff(self.row_ptr) >= 0)
+        if self.cols.size:
+            assert self.cols.min() >= 0 and self.cols.max() < self.n
+        # mirrored-edge check: the multiset of (u,v) equals that of (v,u)
+        u = np.repeat(np.arange(self.n, dtype=np.int64), self.degrees)
+        fwd = u * self.n + self.cols
+        rev = self.cols.astype(np.int64) * self.n + u
+        assert np.array_equal(np.sort(fwd), np.sort(rev)), "edges not mirrored"
+        # no self-loops
+        assert not np.any(u == self.cols), "self-loop present"
+
+    def dedup_edges(self) -> "Graph":
+        """Return a copy with duplicate parallel edges removed."""
+        u = np.repeat(np.arange(self.n, dtype=np.int64), self.degrees)
+        keys = np.unique(u * self.n + self.cols)
+        src = (keys // self.n).astype(np.int64)
+        dst = (keys % self.n).astype(np.int64)
+        return Graph.from_edges(
+            self.n, src, dst, both_directions_present=True,
+            node_names=self.node_names, name=self.name,
+        )
+
+    # -- device layout -----------------------------------------------------
+
+    def to_ell(
+        self,
+        *,
+        pad_nodes_to: int = 8,
+        pad_degree_to: int = 8,
+        min_degree_pad: int = 1,
+    ) -> "EllGraph":
+        """Pack the CSR into the padded ELL device layout.
+
+        Padding slots (both phantom vertices and short rows) hold the
+        sentinel ``n_pad`` so that gathers through an extended color array
+        land on an always-invalid color; phantom vertices have degree 0 and
+        are excluded from histograms via ``EllGraph.node_mask``.
+        """
+        n_pad = _round_up(max(self.n, 1), pad_nodes_to)
+        d_pad = _round_up(max(self.max_degree, min_degree_pad), pad_degree_to)
+        neigh = np.full((n_pad, d_pad), n_pad, dtype=np.int32)
+        degs = self.degrees
+        # scatter CSR rows into the rectangle
+        row = np.repeat(np.arange(self.n, dtype=np.int64), degs)
+        col = (
+            np.arange(self.cols.shape[0], dtype=np.int64)
+            - np.repeat(self.row_ptr[:-1], degs)
+        )
+        neigh[row, col] = self.cols
+        degrees = np.zeros(n_pad, dtype=np.int32)
+        degrees[: self.n] = degs
+        return EllGraph(
+            neighbors=jnp.asarray(neigh),
+            degrees=jnp.asarray(degrees),
+            n_nodes=self.n,
+            n_edges=self.n_edges,
+            max_degree=self.max_degree,
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class EllGraph:
+    """Device-resident padded adjacency.
+
+    ``neighbors[v, k]`` is the k-th neighbor of vertex v, or the sentinel
+    ``n_pad`` (== ``neighbors.shape[0]``) in padding slots.  This replaces
+    the reference's per-thread CSR walks (e.g. coloringMCMC_standard.cu
+    inner loops) with rectangular gathers.
+    """
+
+    neighbors: "jnp.ndarray"     # (n_pad, d_pad) int32
+    degrees: "jnp.ndarray"       # (n_pad,) int32
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))
+    n_edges: int = dataclasses.field(metadata=dict(static=True))
+    max_degree: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_pad(self) -> int:
+        return self.neighbors.shape[0]
+
+    @property
+    def d_pad(self) -> int:
+        return self.neighbors.shape[1]
+
+    @property
+    def node_mask(self) -> "jnp.ndarray":
+        """(n_pad,) bool — True for real vertices."""
+        return (
+            jnp.arange(self.n_pad, dtype=jnp.int32) < jnp.int32(self.n_nodes)
+        )
+
+    @property
+    def neighbor_mask(self) -> "jnp.ndarray":
+        """(n_pad, d_pad) bool — True where a real neighbor is stored."""
+        return self.neighbors < jnp.int32(self.n_pad)

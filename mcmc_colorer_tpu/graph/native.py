@@ -1,0 +1,126 @@
+"""ctypes bindings for the native C++ graph I/O fast path.
+
+The shared library (``native/libmcgraph.so``) is built on demand with g++;
+every entry point has a pure-Python fallback in :mod:`graph.io`, so the
+framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from mcmc_colorer_tpu.graph.container import Graph
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libmcgraph.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_SO_PATH):
+            src = os.path.join(_NATIVE_DIR, "importer.cpp")
+            if not os.path.exists(src):
+                _build_failed = True
+                return None
+            try:
+                subprocess.run(
+                    ["make", "-s", "-C", _NATIVE_DIR],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.mc_import.restype = ctypes.c_void_p
+        lib.mc_import.argtypes = [ctypes.c_char_p]
+        lib.mc_n.restype = ctypes.c_int64
+        lib.mc_n.argtypes = [ctypes.c_void_p]
+        lib.mc_nnz.restype = ctypes.c_int64
+        lib.mc_nnz.argtypes = [ctypes.c_void_p]
+        lib.mc_row_ptr.restype = ctypes.POINTER(ctypes.c_int64)
+        lib.mc_row_ptr.argtypes = [ctypes.c_void_p]
+        lib.mc_cols.restype = ctypes.POINTER(ctypes.c_int32)
+        lib.mc_cols.argtypes = [ctypes.c_void_p]
+        lib.mc_name.restype = ctypes.c_char_p
+        lib.mc_name.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.mc_error.restype = ctypes.c_char_p
+        lib.mc_error.argtypes = [ctypes.c_void_p]
+        lib.mc_free.argtypes = [ctypes.c_void_p]
+        lib.mc_generate_dataset.restype = ctypes.c_int64
+        lib.mc_generate_dataset.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.c_uint64,
+            ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_edge_list(
+    path: str, name: str | None = None, with_names: bool = True
+) -> Graph:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    h = lib.mc_import(path.encode())
+    try:
+        n = lib.mc_n(h)
+        if n < 0:
+            raise IOError(f"{path}: {lib.mc_error(h).decode()}")
+        nnz = lib.mc_nnz(h)
+        row_ptr = np.ctypeslib.as_array(lib.mc_row_ptr(h), shape=(n + 1,)).copy()
+        cols = np.ctypeslib.as_array(lib.mc_cols(h), shape=(max(nnz, 1),))[
+            :nnz
+        ].copy()
+        names = (
+            [lib.mc_name(h, i).decode() for i in range(n)] if with_names else None
+        )
+    finally:
+        lib.mc_free(h)
+    return Graph(
+        n=int(n),
+        row_ptr=row_ptr,
+        cols=cols,
+        node_names=names,
+        name=name or os.path.basename(path).rsplit(".", 1)[0],
+    )
+
+
+def generate_dataset(
+    path: str, n: int, p: float, seed: int = 10000, named: bool = True
+) -> int:
+    """Native datasetGen: returns the number of undirected edges written."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    m = lib.mc_generate_dataset(path.encode(), n, p, seed, int(named))
+    if m < 0:
+        raise IOError(f"cannot write {path}")
+    return int(m)

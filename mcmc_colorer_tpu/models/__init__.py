@@ -1,0 +1,15 @@
+from mcmc_colorer_tpu.models.base import Coloring, build_coloring, check_coloring
+from mcmc_colorer_tpu.models.mcmc import MCMCColorer
+from mcmc_colorer_tpu.models.luby import LubyColorer
+from mcmc_colorer_tpu.models.greedy_ff import GreedyFFColorer
+from mcmc_colorer_tpu.models.vff import VFFColorer
+
+__all__ = [
+    "Coloring",
+    "build_coloring",
+    "check_coloring",
+    "MCMCColorer",
+    "LubyColorer",
+    "GreedyFFColorer",
+    "VFFColorer",
+]

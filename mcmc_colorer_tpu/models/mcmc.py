@@ -1,0 +1,602 @@
+"""MCMC balanced graph colorer — the framework's flagship model.
+
+A TPU-first re-design of the reference's MCMC colorer pair
+(coloringMCMC_CPU.cpp sequential chain, coloringMCMC_main.cu + proposal
+kernels GPU chain; semantics in SURVEY §3.1-§3.2).  The whole chain — init,
+proposal sweeps, conflict reductions, acceptance, tail-cutting — runs inside
+one `jax.jit` as `lax.while_loop`s: the TPU analogue of eliminating the
+reference's per-iteration host round-trips (its main structural
+inefficiency, SURVEY §4.1).
+
+Key design points vs the reference:
+
+* The per-vertex CDF walk over colors (coloringMCMC_standard.cu:50-58 etc.)
+  becomes a vectorized inverse-CDF categorical sample over a [block, nCol]
+  probability matrix: identical distribution, identical choice given the
+  same per-vertex uniform.
+* The persistent nnodes×nCol ``colorsChecker_d`` bool matrix
+  (coloringMCMC_main.cu:39, the reference's HBM limiter) is never
+  materialised; occupancy lives per vertex-block inside a `lax.map`.
+* All proposal variants of the reference's compile-time #define matrix
+  (coloringMCMC.h:27-41) are runtime options, including Metropolis–Hastings
+  acceptance — disabled by default exactly like the shipped reference
+  (always-accept resampling dynamic, SURVEY §9.2).
+* The taboo path explicitly keeps the current color (fixing the reference's
+  stale-buffer reliance, SURVEY §9.5).
+* Conflicts are counted as deduped conflicting *edges* (GPU metric,
+  coloringMCMC_utils.cu:113-116; SURVEY §9.4).
+* The tail-cutting epilogue recolors an independent set of conflicting
+  vertices per round (deterministic, device-side) instead of the
+  reference's serial <<<1,1>>> kernel (coloringMCMC_utils.cu:73-101),
+  implementing the intended semantics of the buggy CPU version (SURVEY §9.1).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmc_colorer_tpu.config import InitKind, MCMCParams, ProposalKind
+from mcmc_colorer_tpu.graph.container import EllGraph, Graph
+from mcmc_colorer_tpu.models.base import Coloring
+from mcmc_colorer_tpu.ops.neighbor import (
+    color_histogram,
+    neighbor_colors,
+    occupancy_matrix,
+)
+from mcmc_colorer_tpu.utils import rng as rngu
+
+# ---------------------------------------------------------------------------
+# block sizing: cap the [block, nCol] occupancy/probability buffers
+# ---------------------------------------------------------------------------
+
+_BLOCK_BYTES_TARGET = 32 * 1024 * 1024
+
+
+def choose_block_size(n: int, n_colors: int) -> int:
+    """Vertex-block size so the per-block [B, nCol] f32 buffers stay a few
+    tens of MB (they replace the reference's full nnodes×nCol matrix)."""
+    b = _BLOCK_BYTES_TARGET // max(4 * n_colors, 1)
+    b = max(128, min(1 << 16, b))
+    b = 1 << int(math.floor(math.log2(b)))  # power of two for clean tiling
+    if n <= b:
+        return max(8, 1 << int(math.ceil(math.log2(max(n, 8)))))
+    return b
+
+
+# ---------------------------------------------------------------------------
+# static per-run distributions (initDistributionLine/Exp, _utils.cu:5-21)
+# ---------------------------------------------------------------------------
+
+
+def distribution_line(n_colors: int, lambda_: float) -> jnp.ndarray:
+    idx = jnp.arange(n_colors, dtype=jnp.float32)
+    w = jnp.float32(n_colors) - jnp.float32(lambda_) * idx
+    return w / jnp.sum(w)
+
+
+def distribution_exp(n_colors: int, lambda_: float) -> jnp.ndarray:
+    idx = jnp.arange(n_colors, dtype=jnp.float32)
+    w = jnp.exp(-jnp.float32(lambda_) * idx)
+    return w / jnp.sum(w)
+
+
+def dynamic_distribution(hist: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
+    """p_c = (1 − count_c/n)/(nCol−1) — emptier classes get more mass
+    (genDynamicDistribution, coloringMCMC_utils.cu:64-70)."""
+    n_colors = hist.shape[0]
+    return (1.0 - hist.astype(jnp.float32) / jnp.float32(n_nodes)) / jnp.float32(
+        max(n_colors - 1, 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# proposal: build the per-vertex probability row and sample it
+# ---------------------------------------------------------------------------
+
+
+def _proposal_q(
+    cur: jnp.ndarray,        # [B] current colors
+    occ: jnp.ndarray,        # [B, nCol] neighbor-color occupancy
+    params: MCMCParams,
+    p_eff: jnp.ndarray | None,  # [nCol] variant distribution (already
+                                 # orderedIndex-permuted where applicable)
+) -> jnp.ndarray:
+    """[B, nCol] proposal probabilities — vectorization of the reference's
+    selectStarColoring* per-color CDF terms (exact formulas:
+    _standard.cu:50-58, _decrease.cu:50-58, _balance.cu:122-135)."""
+    n_colors = occ.shape[1]
+    eps = jnp.float32(params.epsilon)
+    free = ~occ
+    zn = jnp.sum(occ, axis=1, dtype=jnp.int32)
+    zp = jnp.int32(n_colors) - zn
+    zp_f = jnp.maximum(zp, 1).astype(jnp.float32)
+    col_is_cur = (
+        jnp.arange(n_colors, dtype=jnp.int32)[None, :] == cur[:, None]
+    )
+    # keep-current distribution (non-violating case, _standard.cu:55-57)
+    keep_q = jnp.where(col_is_cur, 1.0 - (n_colors - 1) * eps, eps)
+
+    kind = params.proposal
+    if kind == ProposalKind.STANDARD:
+        move_q = jnp.where(
+            free, ((1.0 - eps * zn.astype(jnp.float32)) / zp_f)[:, None], eps
+        )
+    elif kind in (
+        ProposalKind.BALANCE_LINE,
+        ProposalKind.BALANCE_EXP,
+        ProposalKind.BALANCE_DYNAMIC,
+    ):
+        # reminder = Σ_occupied (p_eff − ε), redistributed uniformly over the
+        # free colors (_balance.cu:29-33,122-128)
+        reminder = jnp.sum(
+            jnp.where(occ, p_eff[None, :] - eps, 0.0), axis=1
+        )
+        move_q = jnp.where(
+            free, p_eff[None, :] + (reminder / zp_f)[:, None], eps
+        )
+    elif kind in (ProposalKind.DECREASE_LINE, ProposalKind.DECREASE_EXP):
+        # reminder redistributed exp(-λ·j)/Σ_{i<Zp}exp(-λ·i) over the j-th
+        # free color in index order (_decrease.cu:42-58)
+        lam = jnp.float32(params.lambda_)
+        reminder = jnp.sum(
+            jnp.where(occ, p_eff[None, :] - eps, 0.0), axis=1
+        )
+        j = jnp.cumsum(free.astype(jnp.float32), axis=1) - 1.0
+        if params.lambda_ == 0.0:
+            denom_r = zp_f
+            w = jnp.ones_like(j) / denom_r[:, None]
+        else:
+            denom_r = (1.0 - jnp.exp(-lam * zp_f)) / (1.0 - jnp.exp(-lam))
+            w = jnp.exp(-lam * j) / denom_r[:, None]
+        move_q = jnp.where(free, p_eff[None, :] + reminder[:, None] * w, eps)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown proposal {kind}")
+
+    violating = jnp.take_along_axis(occ, cur[:, None], axis=1)[:, 0]
+    q = jnp.where((violating & (zp > 0))[:, None], move_q, keep_q)
+    # no free color: keep current with probability 1 (_standard.cu:40-44)
+    q = jnp.where((zp == 0)[:, None], col_is_cur.astype(jnp.float32), q)
+    return q
+
+
+def _sample_cdf(q: jnp.ndarray, unif: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-CDF walk: first color whose cumulative probability reaches
+    the uniform — bit-exact with the reference's do/while threshold walk
+    given the same uniform (overflow guard picks the last color,
+    _standard.cu:50-58)."""
+    cdf = jnp.cumsum(q, axis=1)
+    chosen = jnp.sum(cdf < unif[:, None], axis=1, dtype=jnp.int32)
+    return jnp.minimum(chosen, q.shape[1] - 1)
+
+
+# ---------------------------------------------------------------------------
+# the colorer
+# ---------------------------------------------------------------------------
+
+
+class MCMCColorer:
+    """Balanced-coloring MCMC chain, fully device-resident.
+
+    Counterpart of both ``ColoringMCMC_CPU::run`` (coloringMCMC_CPU.cpp:116)
+    and ``ColoringMCMC::run`` (coloringMCMC_main.cu:101).
+    """
+
+    def __init__(
+        self,
+        graph: Graph,
+        params: MCMCParams,
+        block_size: int | None = None,
+    ) -> None:
+        self.graph = graph
+        self.params = params
+        self.block = block_size or choose_block_size(graph.n, params.n_colors)
+        self.ell = graph.to_ell(pad_nodes_to=self.block)
+        self._jit_run = jax.jit(
+            partial(_run_chain, params=params, block=self.block)
+        )
+
+    def run(self, seed: int, repetition: int = 0) -> Coloring:
+        import time
+
+        key = rngu.for_repetition(rngu.root_key(seed), repetition)
+        t0 = time.perf_counter()
+        colors, rip, conflicts, trace, tailcut_rounds = self._jit_run(
+            self.ell, key
+        )
+        colors = np.asarray(jax.device_get(colors))[: self.graph.n]
+        dur = (time.perf_counter() - t0) * 1e3
+        rip = int(rip)
+        return Coloring(
+            colors=colors,
+            n_colors=self.params.n_colors,
+            iterations=rip,
+            converged=int(conflicts) == 0
+            or int(conflicts) <= self.params.tailcut_threshold(self.graph.n),
+            duration_ms=dur,
+            conflict_trace=np.asarray(trace)[: rip + 1],
+            extra={
+                "final_conflicts": int(conflicts),
+                "max_iter_reached": rip >= self.params.max_iterations,
+                "tailcut_rounds": int(tailcut_rounds),
+            },
+        )
+
+
+# --------------------------- jitted chain body -----------------------------
+
+
+def _map_blocks(fn, n_blocks: int, block: int, *arrays):
+    """lax.map over vertex blocks: reshape leading n_pad axis to
+    [n_blocks, block, ...] and scan ``fn`` over it (bounds the [B, nCol]
+    working set; the reference instead allocated it for all vertices)."""
+    xs = tuple(a.reshape((n_blocks, block) + a.shape[1:]) for a in arrays)
+    return jax.lax.map(fn, xs)
+
+
+def _conflict_edges(ell: EllGraph, colors: jnp.ndarray) -> jnp.ndarray:
+    colors_ext = jnp.concatenate(
+        [colors, jnp.full((1,), -1, jnp.int32)]
+    )
+    nc = jnp.take(colors_ext, ell.neighbors, axis=0)
+    self_ids = jnp.arange(ell.n_pad, dtype=jnp.int32)[:, None]
+    same = (nc == colors[:, None]) & (ell.neighbors > self_ids)
+    return jnp.sum(same, dtype=jnp.int32)
+
+
+def _init_colors(ell: EllGraph, params: MCMCParams, key) -> jnp.ndarray:
+    """Initial coloring (initColoring / initColoringWithDistribution,
+    coloringMCMC_utils.cu:24-61).  Phantom padding vertices get the
+    out-of-palette color nCol so they never pollute histograms."""
+    n_pad = ell.n_pad
+    n_colors = params.n_colors
+    u = jax.random.uniform(key, (n_pad,), dtype=jnp.float32)
+    if params.init == InitKind.UNIFORM:
+        colors = jnp.minimum(
+            (u * n_colors).astype(jnp.int32), n_colors - 1
+        )
+    else:
+        dist = (
+            distribution_line(n_colors, params.lambda_)
+            if params.init == InitKind.DISTRIBUTION_LINE
+            else distribution_exp(n_colors, params.lambda_)
+        )
+        cdf = jnp.cumsum(dist)
+        colors = jnp.minimum(
+            jnp.sum(cdf[None, :] < u[:, None], axis=1, dtype=jnp.int32),
+            n_colors - 1,
+        )
+    return jnp.where(ell.node_mask, colors, jnp.int32(n_colors))
+
+
+def _variant_distribution(
+    params: MCMCParams, hist: jnp.ndarray | None, n_nodes: int
+) -> jnp.ndarray | None:
+    """Per-iteration effective distribution p_eff[c], already permuted the
+    way the kernels consume it (p_dist[orderedIndex[c]]).
+
+    Quirk preserved deliberately: BALANCE_LINE/EXP apply
+    ``p_dist[argsort(hist)[c]]`` (coloringMCMC_main.cu:192-198 +
+    _balance.cu:58), while BALANCE_DYNAMIC leaves orderedIndex at identity
+    for the whole run (it is initialised once, _main.cu:130-133, and only
+    re-sorted by the OTHER variants) so p_eff is the dynamic distribution
+    indexed directly by color."""
+    kind = params.proposal
+    if kind == ProposalKind.STANDARD:
+        return None
+    if kind == ProposalKind.DECREASE_LINE:
+        return distribution_line(params.n_colors, params.lambda_)
+    if kind == ProposalKind.DECREASE_EXP:
+        return distribution_exp(params.n_colors, params.lambda_)
+    if kind == ProposalKind.BALANCE_LINE:
+        base = distribution_line(params.n_colors, params.lambda_)
+        return jnp.take(base, jnp.argsort(hist), axis=0)
+    if kind == ProposalKind.BALANCE_EXP:
+        base = distribution_exp(params.n_colors, params.lambda_)
+        return jnp.take(base, jnp.argsort(hist), axis=0)
+    if kind == ProposalKind.BALANCE_DYNAMIC:
+        return dynamic_distribution(hist, n_nodes)
+    raise ValueError(kind)
+
+
+def _needs_histogram(params: MCMCParams) -> bool:
+    return params.proposal in (
+        ProposalKind.BALANCE_LINE,
+        ProposalKind.BALANCE_EXP,
+        ProposalKind.BALANCE_DYNAMIC,
+    )
+
+
+def _sweep(
+    ell: EllGraph,
+    params: MCMCParams,
+    block: int,
+    colors: jnp.ndarray,
+    taboo: jnp.ndarray,
+    unif: jnp.ndarray,
+    p_eff: jnp.ndarray | None,
+):
+    """One full proposal sweep: returns (star_colors, new_taboo,
+    Σ log qStar).  Synchronous update over the old coloring, exactly like
+    the reference's single kernel launch."""
+    n_pad = ell.n_pad
+    n_blocks = n_pad // block
+    n_colors = params.n_colors
+    node_ids = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def block_fn(xs):
+        neigh_blk, cur_blk, taboo_blk, unif_blk, real_blk = xs
+        nc = neighbor_colors(neigh_blk, colors)
+        occ = occupancy_matrix(nc, n_colors)
+        q = _proposal_q(cur_blk, occ, params, p_eff)
+        chosen = _sample_cdf(q, unif_blk)
+        qstar = jnp.take_along_axis(q, chosen[:, None], axis=1)[:, 0]
+        # taboo: explicit keep (intended semantics of _standard.cu:15-20;
+        # SURVEY §9.5)
+        taboo_active = taboo_blk > 0
+        keep_prob = jnp.float32(1.0 - (n_colors - 1) * params.epsilon)
+        chosen = jnp.where(taboo_active, cur_blk, chosen)
+        qstar = jnp.where(taboo_active, keep_prob, qstar)
+        new_taboo = jnp.where(
+            taboo_active,
+            taboo_blk - 1,
+            jnp.where(
+                chosen == cur_blk, jnp.int32(params.taboo_iterations), 0
+            ),
+        )
+        # phantom vertices keep their out-of-palette color
+        chosen = jnp.where(real_blk, chosen, cur_blk)
+        qstar = jnp.where(real_blk, qstar, 1.0)
+        logq = jnp.sum(jnp.log(jnp.maximum(qstar, 1e-30)))
+        return chosen, new_taboo, logq
+
+    star_b, taboo_b, logq_b = _map_blocks(
+        block_fn,
+        n_blocks,
+        block,
+        ell.neighbors,
+        colors,
+        taboo,
+        unif,
+        node_ids < jnp.int32(ell.n_nodes),
+    )
+    return (
+        star_b.reshape(n_pad),
+        taboo_b.reshape(n_pad),
+        jnp.sum(logq_b),
+    )
+
+
+def _reverse_logq(
+    ell: EllGraph,
+    params: MCMCParams,
+    block: int,
+    colors: jnp.ndarray,
+    star: jnp.ndarray,
+):
+    """Σ log q(old | star) for the Metropolis–Hastings ratio — the
+    vectorized ``lookOldColoring`` (coloringMCMC_standard.cu:88-135; the
+    reference defines the reverse probability with the STANDARD formula for
+    every variant, reproduced here)."""
+    n_pad = ell.n_pad
+    n_blocks = n_pad // block
+    n_colors = params.n_colors
+    eps = jnp.float32(params.epsilon)
+    node_ids = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def block_fn(xs):
+        neigh_blk, cur_blk, star_blk, real_blk = xs
+        nc = neighbor_colors(neigh_blk, star)
+        occ = occupancy_matrix(nc, n_colors)
+        zn = jnp.sum(occ, axis=1, dtype=jnp.int32)
+        zp = jnp.int32(n_colors) - zn
+        occ_star = jnp.take_along_axis(occ, star_blk[:, None], axis=1)[:, 0]
+        occ_cur = jnp.take_along_axis(occ, cur_blk[:, None], axis=1)[:, 0]
+        move_q = jnp.where(
+            occ_cur,
+            eps,
+            (1.0 - eps * zn.astype(jnp.float32))
+            / jnp.maximum(zp, 1).astype(jnp.float32),
+        )
+        keep_q = jnp.where(
+            star_blk == cur_blk, 1.0 - (n_colors - 1) * eps, eps
+        )
+        q_old = jnp.where(occ_star, move_q, keep_q)
+        q_old = jnp.where(zp == 0, 1.0, q_old)
+        q_old = jnp.where(real_blk, q_old, 1.0)
+        return jnp.sum(jnp.log(jnp.maximum(q_old, 1e-30)))
+
+    logq_b = _map_blocks(
+        block_fn,
+        n_blocks,
+        block,
+        ell.neighbors,
+        colors,
+        star,
+        node_ids < jnp.int32(ell.n_nodes),
+    )
+    return jnp.sum(logq_b)
+
+
+def _tailcut(
+    ell: EllGraph,
+    params: MCMCParams,
+    block: int,
+    colors: jnp.ndarray,
+    conflicts: jnp.ndarray,
+    key,
+):
+    """Greedy conflict-fixing epilogue (intended semantics of
+    coloringMCMC_utils.cu:73-101 / the buggy CPU loop, SURVEY §9.1).
+
+    Each round recolors an *independent set* of movable conflicting
+    vertices (no lower-id movable flagged neighbor) — a deterministic
+    parallel rendition of the reference's serial device loop.  A vertex
+    moves to its first free color in ascending-class-size order; when no
+    color is free (the reference keeps the old color, _utils.cu:93-99,
+    looping forever) it moves to the color minimising its own conflicts,
+    so total conflicts strictly decrease.  If that reaches a local minimum
+    with conflicts left, the conflicting vertices are randomly recolored
+    and the greedy resumes — the reference's own (dead-code) stall escape,
+    unlock_stall (coloringMCMC_CPUutils.cpp:49-67)."""
+    n_pad = ell.n_pad
+    n_blocks = n_pad // block
+    n_colors = params.n_colors
+    node_ids = jnp.arange(n_pad, dtype=jnp.int32)
+    hist = color_histogram(colors, n_colors, ell.node_mask)
+    ordered = jnp.argsort(hist).astype(jnp.int32)  # ascending class size
+
+    max_rounds = jnp.int32(ell.n_nodes + 1000)
+
+    def cond(carry):
+        _, conf, rounds = carry
+        return (conf > 0) & (rounds < max_rounds)
+
+    def body(carry):
+        cols, conf, rounds = carry
+        colors_ext = jnp.concatenate([cols, jnp.full((1,), -1, jnp.int32)])
+        nc_all = jnp.take(colors_ext, ell.neighbors, axis=0)
+        flags = jnp.any(
+            (nc_all == cols[:, None]) & (ell.neighbors > node_ids[:, None]),
+            axis=1,
+        )
+
+        def block_fn(xs):
+            neigh_blk, cur_blk = xs
+            b = cur_blk.shape[0]
+            nc = neighbor_colors(neigh_blk, cols)
+            rows = jnp.broadcast_to(
+                jnp.arange(b, dtype=jnp.int32)[:, None], nc.shape
+            )
+            counts = (
+                jnp.zeros((b, n_colors), jnp.int32)
+                .at[rows, nc]
+                .add(1, mode="drop")
+            )
+            # rank colors by (conflict count, ascending-class-size position):
+            # first free color in `ordered` when one exists, else the color
+            # with fewest same-colored neighbors
+            ranked = jnp.take(counts, ordered, axis=1) * jnp.int32(
+                n_colors
+            ) + jnp.arange(n_colors, dtype=jnp.int32)[None, :]
+            k = jnp.argmin(ranked, axis=1)
+            cand = jnp.take(ordered, k)
+            cand_count = jnp.take_along_axis(
+                counts, cand[:, None], axis=1
+            )[:, 0]
+            cur_count = jnp.take_along_axis(
+                counts, jnp.clip(cur_blk, 0, n_colors - 1)[:, None], axis=1
+            )[:, 0]
+            return cand, cand_count < cur_count
+
+        cand_b, better_b = _map_blocks(
+            block_fn, n_blocks, block, ell.neighbors, cols
+        )
+        cand = cand_b.reshape(n_pad)
+        movable = flags & better_b.reshape(n_pad)
+        movable_ext = jnp.concatenate(
+            [movable, jnp.zeros((1,), jnp.bool_)]
+        )
+        lower_movable = jnp.any(
+            jnp.take(movable_ext, ell.neighbors, axis=0)
+            & (ell.neighbors < node_ids[:, None]),
+            axis=1,
+        )
+        active = movable & ~lower_movable
+        stalled = ~jnp.any(active)
+        # stall escape: randomly recolor the conflicting vertices
+        rnd = jax.random.randint(
+            jax.random.fold_in(key, rounds),
+            (n_pad,),
+            0,
+            n_colors,
+            dtype=jnp.int32,
+        )
+        new_cols = jnp.where(
+            active, cand, jnp.where(stalled & flags, rnd, cols)
+        )
+        return new_cols, _conflict_edges(ell, new_cols), rounds + 1
+
+    colors, conflicts, rounds = jax.lax.while_loop(
+        cond, body, (colors, conflicts, jnp.int32(0))
+    )
+    return colors, conflicts, rounds
+
+
+def _run_chain(ell: EllGraph, key, *, params: MCMCParams, block: int):
+    """Full chain: init → while-loop of sweeps → optional tailcut.
+    Mirrors ColoringMCMC::run (coloringMCMC_main.cu:100-290) with zero host
+    round-trips."""
+    n_pad = ell.n_pad
+    z = jnp.int32(params.tailcut_threshold(ell.n_nodes))
+    key, k_init = jax.random.split(key)
+    colors0 = _init_colors(ell, params, k_init)
+    taboo0 = jnp.zeros((n_pad,), jnp.int32)
+    conflicts0 = _conflict_edges(ell, colors0)
+    trace0 = jnp.full((params.max_iterations + 1,), -1, jnp.int32)
+    trace0 = trace0.at[0].set(conflicts0)
+
+    def cond(carry):
+        _, _, _, rip, conflicts, _ = carry
+        return (conflicts > z) & (rip < jnp.int32(params.max_iterations))
+
+    def body(carry):
+        colors, taboo, key, rip, conflicts, trace = carry
+        key, k_u, k_acc = jax.random.split(key, 3)
+        unif = jax.random.uniform(k_u, (n_pad,), dtype=jnp.float32)
+        if _needs_histogram(params):
+            hist = color_histogram(colors, params.n_colors, ell.node_mask)
+        else:
+            hist = None
+        p_eff = _variant_distribution(params, hist, ell.n_nodes)
+        star, new_taboo, logq_star = _sweep(
+            ell, params, block, colors, taboo, unif, p_eff
+        )
+        conflicts_star = _conflict_edges(ell, star)
+        if params.hastings:
+            logq_old = _reverse_logq(ell, params, block, colors, star)
+            # acceptance ratio exp(−λ·ΔConflicts + (p − pStar))
+            # (coloringMCMC_main.cu:250-253; gated here, unlike the
+            # reference where the swap is unconditional — SURVEY §9.2)
+            log_ratio = (
+                -jnp.float32(params.lambda_)
+                * (conflicts_star - conflicts).astype(jnp.float32)
+                + logq_old
+                - logq_star
+            )
+            accept = (
+                jnp.log(
+                    jnp.maximum(
+                        jax.random.uniform(k_acc, (), dtype=jnp.float32),
+                        1e-30,
+                    )
+                )
+                < log_ratio
+            )
+            colors_next = jnp.where(accept, star, colors)
+            conflicts_next = jnp.where(accept, conflicts_star, conflicts)
+        else:
+            colors_next = star
+            conflicts_next = conflicts_star
+        rip = rip + 1
+        trace = trace.at[rip].set(conflicts_next)
+        return colors_next, new_taboo, key, rip, conflicts_next, trace
+
+    colors, taboo, key, rip, conflicts, trace = jax.lax.while_loop(
+        cond,
+        body,
+        (colors0, taboo0, key, jnp.int32(0), conflicts0, trace0),
+    )
+
+    if params.tailcut:
+        key, k_tc = jax.random.split(key)
+        colors, conflicts, tc_rounds = _tailcut(
+            ell, params, block, colors, conflicts, k_tc
+        )
+    else:
+        tc_rounds = jnp.int32(0)
+    return colors, rip, conflicts, trace, tc_rounds

@@ -1,0 +1,152 @@
+"""Vertex-centric First-Fit rebalancing colorer (VFF).
+
+Re-design of the reference's ``ColoringVFF`` (coloringVFF.cu): phase 1 runs
+the Greedy-FF loop, phase 2 moves vertices out of oversized color classes
+(γ = n/numColors) into the lowest permissible *undersized* class, re-solving
+conflicts, with a 10-round history of the unbalanced set as livelock
+detector; on livelock the Greedy-FF coloring is restored
+(coloringVFF.cu:128-256, 447-466).
+
+Deliberate deviation (SURVEY §9.6): the reference's tentative_rebalancing
+predicate moves nodes into classes with ``gamma < BIN_SIZE`` — *oversized*
+targets, contradicting its own comment.  We implement the intended
+undersized-bin rule (``BIN_SIZE < gamma``) and keep the livelock fallback.
+
+Both phases live in one `jax.jit`; the reference's two concurrent CUDA
+streams (bin counting ∥ conflict solving, coloringVFF.cu:156-203) need no
+explicit construct — XLA schedules the independent ops concurrently
+(SURVEY §2.3 item 5).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmc_colorer_tpu.graph.container import EllGraph, Graph
+from mcmc_colorer_tpu.models.base import Coloring
+from mcmc_colorer_tpu.models.greedy_ff import _run_gff
+from mcmc_colorer_tpu.models.mcmc import _map_blocks, choose_block_size
+from mcmc_colorer_tpu.ops.neighbor import (
+    color_histogram,
+    neighbor_colors,
+    occupancy_matrix,
+)
+
+_UNBALANCED_HISTORY = 10  # coloringVFF.cu:17
+
+
+class VFFColorer:
+    def __init__(self, graph: Graph, block_size: int | None = None) -> None:
+        self.graph = graph
+        self.max_colors = graph.max_degree + 1
+        self.block = block_size or choose_block_size(graph.n, self.max_colors)
+        self.ell = graph.to_ell(pad_nodes_to=self.block)
+        self._jit_run = jax.jit(
+            partial(_run_vff, max_colors=self.max_colors, block=self.block)
+        )
+
+    def run(self, seed: int = 0, repetition: int = 0) -> Coloring:
+        t0 = time.perf_counter()
+        colors, n_used, rounds, fell_back = self._jit_run(self.ell)
+        colors = np.asarray(jax.device_get(colors))[: self.graph.n]
+        dur = (time.perf_counter() - t0) * 1e3
+        return Coloring(
+            colors=colors,
+            n_colors=int(n_used),
+            iterations=int(rounds),
+            converged=True,
+            duration_ms=dur,
+            extra={"livelock_fallback": bool(fell_back)},
+        )
+
+
+def _run_vff(ell: EllGraph, *, max_colors: int, block: int):
+    n_pad = ell.n_pad
+    n_blocks = n_pad // block
+    real = ell.node_mask
+    node_ids = jnp.arange(n_pad, dtype=jnp.int32)
+
+    # ---- phase 1: Greedy FF (coloringVFF.cu:90-125 reuses the GFF loop)
+    gff_colors, _ = _run_gff(ell, max_colors=max_colors, block=block)
+
+    # numColors = distinct used colors; since FF colors are dense from 0,
+    # that is max(color)+1 over real vertices
+    n_used = jnp.max(jnp.where(real, gff_colors, -1)) + 1
+    gamma = jnp.int32(ell.n_nodes) // jnp.maximum(n_used, 1)  # γ = n/numColors
+
+    def bin_sizes(colors):
+        return color_histogram(colors, max_colors, real)
+
+    def detect_unbalanced(colors, bins):
+        """node flagged iff its class is oversized (γ < binSize,
+        coloringVFF.cu:323-334)."""
+        sz = jnp.take(bins, jnp.clip(colors, 0, max_colors - 1))
+        return real & (gamma < sz)
+
+    bins0 = bin_sizes(gff_colors)
+    unb0 = detect_unbalanced(gff_colors, bins0)
+    hist0 = jnp.zeros((_UNBALANCED_HISTORY, n_pad), jnp.bool_)
+
+    def cond(carry):
+        colors, bins, unb, history, rounds, looping = carry
+        return jnp.any(unb) & ~looping
+
+    def body(carry):
+        colors, bins, unb, history, rounds, looping = carry
+
+        def block_fn(xs):
+            neigh_blk, cur_blk, unb_blk = xs
+            nc = neighbor_colors(neigh_blk, colors)
+            occ = occupancy_matrix(nc, max_colors)
+            # own current color also forbidden (coloringVFF.cu:371-372)
+            occ = occ.at[
+                jnp.arange(cur_blk.shape[0]), jnp.clip(cur_blk, 0, max_colors - 1)
+            ].set(True)
+            # permissible AND undersized target (intended semantics)
+            eligible = (~occ) & (bins < gamma)[None, :]
+            k = jnp.argmax(eligible, axis=1).astype(jnp.int32)
+            found = jnp.any(eligible, axis=1)
+            return jnp.where(unb_blk & found, k, cur_blk)
+
+        cand_b = _map_blocks(
+            block_fn, n_blocks, block, ell.neighbors, colors, unb
+        )
+        new_colors = cand_b.reshape(n_pad)
+        # solve_conflicts: an unbalanced node stays flagged iff it now
+        # conflicts with a lower-id neighbor (coloringVFF.cu:411-437)
+        colors_ext = jnp.concatenate(
+            [new_colors, jnp.full((1,), -2, jnp.int32)]
+        )
+        nc = jnp.take(colors_ext, ell.neighbors, axis=0)
+        conflicted = jnp.any(
+            (nc == new_colors[:, None]) & (ell.neighbors < node_ids[:, None]),
+            axis=1,
+        )
+        new_bins = bin_sizes(new_colors)
+        new_unb = unb & conflicted
+        # 10-deep history ring; all-equal → livelock (coloringVFF.cu:447-466)
+        history = jnp.roll(history, 1, axis=0).at[0].set(new_unb)
+        filled = rounds + 1 >= _UNBALANCED_HISTORY
+        all_equal = jnp.all(history == history[0:1])
+        return (
+            new_colors,
+            new_bins,
+            new_unb,
+            history,
+            rounds + 1,
+            looping | (filled & all_equal),
+        )
+
+    colors, bins, unb, history, rounds, looping = jax.lax.while_loop(
+        cond,
+        body,
+        (gff_colors, bins0, unb0, hist0, jnp.int32(0), jnp.bool_(False)),
+    )
+    # livelock → revert to plain GFF (coloringVFF.cu:232-234)
+    final = jnp.where(looping, gff_colors, colors)
+    return final, n_used, rounds, looping

@@ -1,0 +1,57 @@
+"""Vectorized neighbor/occupancy primitives.
+
+These replace the reference's per-thread CSR walks and the persistent
+``colorsChecker_d`` nnodes×nCol bool matrix (its main memory consumer,
+coloringMCMC_main.cu:39): occupancy is materialised only per vertex-block,
+never for the whole graph (SURVEY §10 hard part 3).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def extend_colors(colors: jnp.ndarray, fill: int = -1) -> jnp.ndarray:
+    """Append one sentinel slot so ELL padding gathers land on `fill`."""
+    return jnp.concatenate(
+        [colors.astype(jnp.int32), jnp.full((1,), fill, jnp.int32)]
+    )
+
+
+def neighbor_colors(
+    neighbors: jnp.ndarray, colors: jnp.ndarray
+) -> jnp.ndarray:
+    """[B, d_pad] colors of each vertex's neighbors; padding slots get -1.
+
+    ``colors`` must cover all vertex ids that appear in ``neighbors`` plus
+    the sentinel (pass the full color vector even when ``neighbors`` is a
+    block slice).
+    """
+    return jnp.take(extend_colors(colors), neighbors, axis=0)
+
+
+def occupancy_matrix(neigh_cols: jnp.ndarray, n_colors: int) -> jnp.ndarray:
+    """[B, n_colors] bool — occ[v, c] iff some neighbor of v has color c.
+
+    Functional equivalent of the reference's per-vertex ``colorsChecker``
+    fill loop (coloringMCMC_standard.cu:29-30).  Out-of-range colors
+    (padding -1, phantom palette nCol) are dropped by the scatter.
+    """
+    b = neigh_cols.shape[0]
+    rows = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], neigh_cols.shape
+    )
+    occ = jnp.zeros((b, n_colors), dtype=jnp.bool_)
+    return occ.at[rows, neigh_cols].set(True, mode="drop")
+
+
+def color_histogram(
+    colors: jnp.ndarray, n_colors: int, node_mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """[n_colors] int32 class sizes (reference host histogram step,
+    coloringMCMC_main.cu:211-214, moved on-device).  Colors outside the
+    palette (phantom padding vertices) are dropped."""
+    if node_mask is not None:
+        colors = jnp.where(node_mask, colors, n_colors)
+    hist = jnp.zeros((n_colors,), dtype=jnp.int32)
+    return hist.at[colors].add(1, mode="drop")

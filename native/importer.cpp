@@ -1,0 +1,220 @@
+// Native graph I/O fast path for mcmc_colorer_tpu.
+//
+// TPU-native counterpart of the reference's C++ host graph layer:
+// streaming edge-list import with string-id interning (reference
+// src/utils/fileImporter.cpp:20-62 two-pass design, collapsed here into a
+// single pass over an in-memory buffer), CSR build with reverse-edge
+// insertion and self-loop dropping (reference src/graph/graphCPU.cpp:122-134),
+// and the datasetGen ER writer (reference src/datasetGenerator.cpp).
+//
+// Exposed as a C ABI consumed from Python via ctypes (no pybind11 in the
+// image).  All returned arrays are owned by the handle and freed by
+// mc_free().
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <random>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct GraphHandle {
+  int64_t n = 0;
+  std::vector<int64_t> row_ptr;   // n+1
+  std::vector<int32_t> cols;      // 2m (both directions)
+  std::vector<std::string> names; // dense-id -> original string id
+  std::string err;
+};
+
+// Intern table: string -> dense id in first-seen order (the contract the
+// reference's geneMap establishes, fileImporter.cpp:20-62).
+struct Interner {
+  std::unordered_map<std::string, int32_t> map;
+  std::vector<std::string>* names;
+  explicit Interner(std::vector<std::string>* n) : names(n) {}
+  int32_t get(const char* s, size_t len) {
+    std::string key(s, len);
+    auto it = map.find(key);
+    if (it != map.end()) return it->second;
+    int32_t id = static_cast<int32_t>(names->size());
+    map.emplace(std::move(key), id);
+    names->emplace_back(s, len);
+    return id;
+  }
+};
+
+inline bool is_sep(char c) {
+  return c == ' ' || c == '\t' || c == ',' || c == '\r';
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse an edge-list file: skip one header line, then `src dst [weight]`
+// per line (whitespace or comma separated).  Returns a heap handle, or a
+// handle with n<0 and an error message on failure.
+void* mc_import(const char* path) {
+  auto* h = new GraphHandle();
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    h->n = -1;
+    h->err = "cannot open file";
+    return h;
+  }
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(static_cast<size_t>(size) + 1);
+  size_t rd = fread(buf.data(), 1, static_cast<size_t>(size), f);
+  fclose(f);
+  buf[rd] = '\0';
+
+  char* p = buf.data();
+  char* end = p + rd;
+  // skip header line
+  while (p < end && *p != '\n') ++p;
+  if (p < end) ++p;
+
+  Interner intern(&h->names);
+  std::vector<int32_t> src, dst;
+  src.reserve(1 << 20);
+  dst.reserve(1 << 20);
+  while (p < end) {
+    // token 1
+    while (p < end && is_sep(*p)) ++p;
+    char* t0 = p;
+    while (p < end && !is_sep(*p) && *p != '\n') ++p;
+    size_t l0 = static_cast<size_t>(p - t0);
+    while (p < end && is_sep(*p)) ++p;
+    char* t1 = p;
+    while (p < end && !is_sep(*p) && *p != '\n') ++p;
+    size_t l1 = static_cast<size_t>(p - t1);
+    // rest of line (weight, ignored)
+    while (p < end && *p != '\n') ++p;
+    if (p < end) ++p;
+    if (l0 == 0 || l1 == 0) continue;
+    int32_t a = intern.get(t0, l0);
+    int32_t b = intern.get(t1, l1);
+    if (a == b) continue;  // drop self-loops (graphCPU.cpp:131)
+    src.push_back(a);
+    dst.push_back(b);
+  }
+
+  const int64_t n = static_cast<int64_t>(h->names.size());
+  h->n = n;
+  // degree count with both directions (reverse edge added, graphCPU.cpp:122-134)
+  std::vector<int64_t> deg(static_cast<size_t>(n), 0);
+  for (size_t k = 0; k < src.size(); ++k) {
+    ++deg[static_cast<size_t>(src[k])];
+    ++deg[static_cast<size_t>(dst[k])];
+  }
+  h->row_ptr.assign(static_cast<size_t>(n) + 1, 0);
+  for (int64_t i = 0; i < n; ++i)
+    h->row_ptr[static_cast<size_t>(i) + 1] =
+        h->row_ptr[static_cast<size_t>(i)] + deg[static_cast<size_t>(i)];
+  h->cols.assign(static_cast<size_t>(h->row_ptr[static_cast<size_t>(n)]), 0);
+  std::vector<int64_t> cursor(h->row_ptr.begin(), h->row_ptr.end() - 1);
+  for (size_t k = 0; k < src.size(); ++k) {
+    int32_t a = src[k], b = dst[k];
+    h->cols[static_cast<size_t>(cursor[static_cast<size_t>(a)]++)] = b;
+    h->cols[static_cast<size_t>(cursor[static_cast<size_t>(b)]++)] = a;
+  }
+  return h;
+}
+
+int64_t mc_n(void* vh) { return static_cast<GraphHandle*>(vh)->n; }
+
+int64_t mc_nnz(void* vh) {
+  return static_cast<int64_t>(static_cast<GraphHandle*>(vh)->cols.size());
+}
+
+const int64_t* mc_row_ptr(void* vh) {
+  return static_cast<GraphHandle*>(vh)->row_ptr.data();
+}
+
+const int32_t* mc_cols(void* vh) {
+  return static_cast<GraphHandle*>(vh)->cols.data();
+}
+
+const char* mc_name(void* vh, int64_t i) {
+  auto* h = static_cast<GraphHandle*>(vh);
+  if (i < 0 || i >= static_cast<int64_t>(h->names.size())) return "";
+  return h->names[static_cast<size_t>(i)].c_str();
+}
+
+const char* mc_error(void* vh) { return static_cast<GraphHandle*>(vh)->err.c_str(); }
+
+void mc_free(void* vh) { delete static_cast<GraphHandle*>(vh); }
+
+// datasetGen equivalent: sample ER(n, p) with geometric skips and stream
+// the native format (`nNodes\tnEdges` header, then `name\tname\tweight`
+// rows with random 12-char alphanumeric names, datasetGenerator.cpp:147-194).
+// Returns the number of undirected edges written, or -1 on I/O error.
+int64_t mc_generate_dataset(const char* path, int64_t n, double p,
+                            uint64_t seed, int named) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  std::mt19937_64 eng(seed);
+  std::uniform_real_distribution<double> unif(0.0, 1.0);
+  static const char kAlpha[] =
+      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789";
+  std::vector<std::string> names;
+  if (named) {
+    names.reserve(static_cast<size_t>(n));
+    std::uniform_int_distribution<int> pick(0, sizeof(kAlpha) - 2);
+    for (int64_t i = 0; i < n; ++i) {
+      std::string s(12, 'x');
+      for (auto& c : s) c = kAlpha[pick(eng)];
+      names.push_back(std::move(s));
+    }
+  }
+  // First pass over skips to count edges is avoided: buffer edges, then write.
+  std::vector<std::pair<int64_t, int64_t>> edges;
+  const long double total =
+      static_cast<long double>(n) * static_cast<long double>(n - 1) / 2.0L;
+  if (p > 0.0 && n > 1) {
+    const double log1mp = std::log1p(-p);
+    long double pos = -1.0L;
+    while (true) {
+      double u = unif(eng);
+      if (u <= 0.0) u = 1e-300;
+      pos += std::floor(std::log(u) / log1mp) + 1.0;
+      if (pos >= total) break;
+      // linear index -> strict upper triangle (i, j)
+      long double idx = pos;
+      long double nn = static_cast<long double>(n);
+      int64_t i = static_cast<int64_t>(
+          std::floor(((2.0L * nn - 1.0L) -
+                      std::sqrt((2.0L * nn - 1.0L) * (2.0L * nn - 1.0L) -
+                                8.0L * idx)) /
+                     2.0L));
+      auto s_of = [&](int64_t ii) {
+        return static_cast<long double>(ii) * (2.0L * nn - ii - 1.0L) / 2.0L;
+      };
+      if (s_of(i) > idx) --i;
+      if (s_of(i + 1) <= idx) ++i;
+      int64_t j =
+          static_cast<int64_t>(idx - s_of(i)) + i + 1;
+      edges.emplace_back(i, j);
+    }
+  }
+  fprintf(f, "%lld\t%lld\n", static_cast<long long>(n),
+          static_cast<long long>(edges.size()));
+  for (auto& e : edges) {
+    double w = unif(eng);
+    if (named)
+      fprintf(f, "%s\t%s\t%g\n", names[static_cast<size_t>(e.first)].c_str(),
+              names[static_cast<size_t>(e.second)].c_str(), w);
+    else
+      fprintf(f, "%lld\t%lld\t%g\n", static_cast<long long>(e.first),
+              static_cast<long long>(e.second), w);
+  }
+  fclose(f);
+  return static_cast<int64_t>(edges.size());
+}
+
+}  // extern "C"

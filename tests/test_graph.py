@@ -1,0 +1,122 @@
+import numpy as np
+import pytest
+
+from mcmc_colorer_tpu.graph.container import Graph
+from mcmc_colorer_tpu.graph.generate import _linear_to_triu, erdos_renyi
+from mcmc_colorer_tpu.graph import io as gio
+
+
+def test_linear_to_triu_roundtrip():
+    n = 37
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    idx = np.arange(len(pairs), dtype=np.int64)
+    i, j = _linear_to_triu(idx, n)
+    assert [(a, b) for a, b in zip(i, j)] == pairs
+
+
+def test_er_structure():
+    g = erdos_renyi(200, 0.05, seed=1)
+    g.validate()
+    # mean edges = C(200,2)*0.05 = 995; allow generous MC slack
+    assert 700 < g.n_edges < 1300
+
+
+def test_er_deterministic():
+    a = erdos_renyi(100, 0.1, seed=5)
+    b = erdos_renyi(100, 0.1, seed=5)
+    assert np.array_equal(a.cols, b.cols)
+    c = erdos_renyi(100, 0.1, seed=6)
+    assert not np.array_equal(a.cols, c.cols) or a.n_edges != c.n_edges
+
+
+def test_from_edges_drops_self_loops_and_mirrors():
+    g = Graph.from_edges(4, [0, 1, 2, 2], [1, 2, 3, 2])
+    assert g.n_edges == 3
+    g.validate()
+    assert set(g.neighbors_of(2).tolist()) == {1, 3}
+
+
+def test_dedup():
+    g = Graph.from_edges(3, [0, 0, 1], [1, 1, 2])
+    assert g.n_edges == 3  # duplicates kept, like the reference
+    d = g.dedup_edges()
+    assert d.n_edges == 2
+    d.validate()
+
+
+def test_ell_layout(small_er):
+    ell = small_er.to_ell(pad_nodes_to=16, pad_degree_to=8)
+    assert ell.n_pad % 16 == 0 and ell.d_pad % 8 == 0
+    neigh = np.asarray(ell.neighbors)
+    degs = np.asarray(ell.degrees)
+    for v in range(small_er.n):
+        row = neigh[v][neigh[v] < ell.n_pad]
+        assert sorted(row.tolist()) == sorted(small_er.neighbors_of(v).tolist())
+        assert degs[v] == small_er.degrees[v]
+    # padding rows are all-sentinel
+    assert (neigh[small_er.n :] == ell.n_pad).all()
+
+
+def test_edge_list_roundtrip(tmp_path, small_er):
+    path = str(tmp_path / "g.txt")
+    gio.write_edge_list(small_er, path, use_names=False)
+    g2 = gio.load_edge_list_py(path)
+    assert g2.n == small_er.n
+    assert g2.n_edges == small_er.n_edges
+    # node ids are renumbered in first-seen order; degree multiset survives
+    assert sorted(g2.degrees.tolist()) == sorted(small_er.degrees.tolist())
+
+
+def test_native_importer_matches_python(tmp_path, small_er):
+    from mcmc_colorer_tpu.graph import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    path = str(tmp_path / "g.txt")
+    gio.write_edge_list(small_er, path, use_names=False)
+    g_py = gio.load_edge_list_py(path)
+    g_nat = native.load_edge_list(path)
+    assert g_nat.n == g_py.n
+    assert np.array_equal(g_nat.row_ptr, g_py.row_ptr)
+    # within-row neighbor order is an implementation detail
+    for v in range(g_py.n):
+        assert sorted(g_nat.neighbors_of(v).tolist()) == sorted(
+            g_py.neighbors_of(v).tolist()
+        )
+    assert g_nat.node_names == g_py.node_names
+
+
+def test_native_dataset_generator(tmp_path):
+    from mcmc_colorer_tpu.graph import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    path = str(tmp_path / "ds.txt")
+    m = native.generate_dataset(path, 200, 0.05, seed=42)
+    assert 600 < m < 1400
+    g = gio.load_edge_list_py(path)
+    assert g.n <= 200  # isolated nodes don't appear in the edge list
+    g.validate()
+
+
+def test_converters(tmp_path):
+    nr = tmp_path / "nr.txt"
+    nr.write_text("% comment\n% 5 4 5\n1 2\n2 3\n3 4\n4 5\n")
+    out = tmp_path / "nr_conv.txt"
+    gio.convert_network_repository(str(nr), str(out))
+    lines = out.read_text().strip().split("\n")
+    assert lines[1] == "1 2 0.1"
+    g = gio.load_edge_list_py(str(out))
+    assert g.n == 5 and g.n_edges == 4
+
+    rd = tmp_path / "reddit.csv"
+    rd.write_text("a,b,x\nb,c,y\n")
+    out2 = tmp_path / "r.txt"
+    gio.convert_reddit_csv(str(rd), str(out2))
+    assert out2.read_text() == "a b 0.1\nb c 0.1\n"
+
+    sa = tmp_path / "sa.txt"
+    sa.write_text("3 3\na b 1\nb b 1\nb c 1\n")
+    out3 = tmp_path / "sa_p.txt"
+    assert gio.strip_self_arcs(str(sa), str(out3)) == 1
+    assert "b b" not in out3.read_text()

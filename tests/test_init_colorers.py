@@ -1,0 +1,52 @@
+import numpy as np
+
+from mcmc_colorer_tpu.models.base import check_coloring
+from mcmc_colorer_tpu.models.greedy_ff import GreedyFFColorer
+from mcmc_colorer_tpu.models.greedy_seq import SequentialGreedyColorer
+from mcmc_colorer_tpu.models.luby import LubyColorer
+from mcmc_colorer_tpu.models.vff import VFFColorer
+
+
+def test_luby_valid(small_er):
+    r = LubyColorer(small_er).run(seed=1)
+    assert check_coloring(small_er, r.colors)
+    assert (r.colors >= 0).all() and (r.colors < r.n_colors).all()
+    # MIS peel uses at most maxDeg+1 colors
+    assert r.n_colors <= small_er.max_degree + 1
+
+
+def test_luby_medium(medium_er):
+    r = LubyColorer(medium_er).run(seed=2)
+    assert check_coloring(medium_er, r.colors)
+
+
+def test_greedy_ff_valid(small_er):
+    r = GreedyFFColorer(small_er).run()
+    assert check_coloring(small_er, r.colors)
+    assert r.n_colors <= small_er.max_degree + 1
+
+
+def test_greedy_ff_medium(medium_er):
+    r = GreedyFFColorer(medium_er).run()
+    assert check_coloring(medium_er, r.colors)
+
+
+def test_vff_valid_and_balanced(medium_er):
+    gff = GreedyFFColorer(medium_er).run()
+    vff = VFFColorer(medium_er).run()
+    assert check_coloring(medium_er, vff.colors)
+    if not vff.extra["livelock_fallback"]:
+        # rebalancing must not worsen the size spread
+        assert vff.class_stats()["std"] <= gff.class_stats()["std"] + 1e-6
+
+
+def test_greedy_seq(small_er):
+    r = SequentialGreedyColorer(small_er).run()
+    assert check_coloring(small_er, r.colors)
+    assert r.n_colors <= small_er.max_degree + 1
+
+
+def test_determinism_gff(medium_er):
+    a = GreedyFFColorer(medium_er).run()
+    b = GreedyFFColorer(medium_er).run()
+    assert np.array_equal(a.colors, b.colors)

@@ -1,0 +1,193 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcmc_colorer_tpu.config import InitKind, MCMCParams, ProposalKind
+from mcmc_colorer_tpu.models.base import check_coloring
+from mcmc_colorer_tpu.models.mcmc import (
+    MCMCColorer,
+    _proposal_q,
+    _sample_cdf,
+    distribution_exp,
+    distribution_line,
+    dynamic_distribution,
+)
+from mcmc_colorer_tpu.models.mcmc_sequential import SequentialMCMCColorer
+
+
+def _params(n_colors, **kw):
+    return MCMCParams(n_colors=n_colors, **kw)
+
+
+# --------------------------- proposal unit tests ---------------------------
+
+
+def test_proposal_rows_sum_to_one():
+    n_col = 7
+    cur = jnp.array([0, 1, 2, 3], dtype=jnp.int32)
+    occ = jnp.array(
+        [
+            [1, 1, 0, 0, 0, 0, 0],  # violating (cur=0 occupied), free exist
+            [0, 0, 0, 0, 0, 0, 0],  # not violating
+            [1, 1, 1, 1, 1, 1, 1],  # all occupied
+            [1, 0, 1, 1, 0, 1, 0],  # violating
+        ],
+        dtype=bool,
+    )
+    for kind in ProposalKind:
+        p = _params(n_col, proposal=kind, epsilon=1e-3)
+        hist = jnp.array([10, 5, 3, 0, 0, 1, 1], dtype=jnp.int32)
+        if kind == ProposalKind.BALANCE_DYNAMIC:
+            p_eff = dynamic_distribution(hist, 20)
+        elif kind in (ProposalKind.BALANCE_LINE, ProposalKind.BALANCE_EXP):
+            base = (
+                distribution_line(n_col, 1.0)
+                if kind == ProposalKind.BALANCE_LINE
+                else distribution_exp(n_col, 1.0)
+            )
+            p_eff = jnp.take(base, jnp.argsort(hist))
+        elif kind in (ProposalKind.DECREASE_LINE, ProposalKind.DECREASE_EXP):
+            p_eff = (
+                distribution_line(n_col, 1.0)
+                if kind == ProposalKind.DECREASE_LINE
+                else distribution_exp(n_col, 1.0)
+            )
+        else:
+            p_eff = None
+        q = _proposal_q(cur, occ, p, p_eff)
+        s = np.asarray(jnp.sum(q, axis=1))
+        # rows 1..3: keep-dists and standard sum exactly to 1; balance
+        # variants sum to Σp_eff (=1 up to fp error)
+        np.testing.assert_allclose(s, 1.0, atol=1e-4)
+        assert (np.asarray(q) >= 0).all()
+
+
+def test_standard_proposal_matches_reference_formula():
+    n_col = 5
+    eps = 1e-2
+    p = _params(n_col, proposal=ProposalKind.STANDARD, epsilon=eps)
+    cur = jnp.array([2], dtype=jnp.int32)
+    occ = jnp.array([[1, 0, 1, 0, 0]], dtype=bool)  # violating, Zn=2, Zp=3
+    q = np.asarray(_proposal_q(cur, occ, p, None))[0]
+    expect_free = (1 - eps * 2) / 3
+    np.testing.assert_allclose(q, [eps, expect_free, eps, expect_free, expect_free], rtol=1e-6)
+
+
+def test_sample_cdf_matches_walk():
+    q = jnp.array([[0.2, 0.3, 0.5], [1.0, 0.0, 0.0]], dtype=jnp.float32)
+    u = jnp.array([0.65, 0.999], dtype=jnp.float32)
+    chosen = np.asarray(_sample_cdf(q, u))
+    # 0.2+0.3=0.5 < 0.65 → index 2 ; row 2: cdf[0]=1.0 ≥ .999 → 0
+    assert chosen.tolist() == [2, 0]
+
+
+# ------------------------------ chain tests --------------------------------
+
+
+@pytest.mark.parametrize(
+    "kind",
+    [
+        ProposalKind.STANDARD,
+        ProposalKind.BALANCE_DYNAMIC,
+        ProposalKind.DECREASE_EXP,
+        ProposalKind.BALANCE_LINE,
+    ],
+)
+def test_chain_converges_small(small_er, kind):
+    n_col = small_er.max_degree  # default nCol = maxDeg / 1.0
+    colorer = MCMCColorer(small_er, _params(n_col, proposal=kind))
+    result = colorer.run(seed=11)
+    assert result.extra["final_conflicts"] == 0
+    assert check_coloring(small_er, result.colors)
+    assert result.iterations <= 250
+    # conflict trace is monotone-ish decreasing to 0
+    assert result.conflict_trace[-1] == 0
+
+
+def test_chain_with_taboo_and_tailcut(medium_er):
+    # tailcut z = max(50, n/2000) = 50: the chain runs until ≤50 conflicting
+    # edges remain, then the greedy epilogue cleans up the tail
+    n_col = max(2, medium_er.max_degree)
+    p = _params(
+        n_col,
+        proposal=ProposalKind.BALANCE_DYNAMIC,
+        taboo_iterations=3,
+        tailcut=True,
+    )
+    result = MCMCColorer(medium_er, p).run(seed=5)
+    assert check_coloring(medium_er, result.colors)
+    assert result.extra["tailcut_rounds"] >= 0
+
+
+def test_tailcut_reduces_conflicts_degenerate(small_er):
+    """n=60 → z=50 ≥ initial conflicts: the chain never sweeps and tailcut
+    receives a raw random coloring.  The reference's serial loop would hang
+    when a vertex has no free color; ours must terminate and still reduce
+    conflicts."""
+    n_col = max(2, small_er.max_degree // 2)
+    p = _params(n_col, proposal=ProposalKind.BALANCE_DYNAMIC, tailcut=True)
+    result = MCMCColorer(small_er, p).run(seed=5)
+    assert result.extra["final_conflicts"] <= result.conflict_trace[0]
+
+
+def test_chain_hastings_runs(small_er):
+    n_col = small_er.max_degree
+    p = _params(n_col, proposal=ProposalKind.STANDARD, hastings=True)
+    result = MCMCColorer(small_er, p).run(seed=3)
+    assert result.colors.shape == (small_er.n,)
+    assert result.extra["final_conflicts"] >= 0
+
+
+def test_distribution_inits(small_er):
+    for init in InitKind:
+        p = _params(8, init=init, max_iterations=1)
+        r = MCMCColorer(small_er, p).run(seed=1)
+        assert ((r.colors >= 0) & (r.colors < 8)).all()
+
+
+def test_phantom_vertices_ignored(small_er):
+    # large block forces heavy padding; phantom vertices must not leak into
+    # histograms or colors
+    colorer = MCMCColorer(
+        small_er, _params(small_er.max_degree), block_size=256
+    )
+    r = colorer.run(seed=2)
+    assert r.colors.shape == (small_er.n,)
+    assert r.histogram.sum() == small_er.n
+
+
+def test_balance_dynamic_balances_better_than_standard(medium_er):
+    n_col = max(2, medium_er.max_degree // 2)
+    runs = {}
+    for kind in (ProposalKind.STANDARD, ProposalKind.BALANCE_DYNAMIC):
+        p = _params(n_col, proposal=kind, tailcut=True)
+        r = MCMCColorer(medium_er, p).run(seed=9)
+        assert check_coloring(medium_er, r.colors)
+        runs[kind] = r.class_stats()["std"]
+    # balance-dynamic should produce clearly more even classes
+    assert runs[ProposalKind.BALANCE_DYNAMIC] <= runs[ProposalKind.STANDARD] * 1.5
+
+
+# ------------------------- sequential reference ----------------------------
+
+
+def test_sequential_mcmc_converges(small_er):
+    p = _params(small_er.max_degree, tailcut=True)
+    r = SequentialMCMCColorer(small_er, p).run(seed=4)
+    assert check_coloring(small_er, r.colors)
+    assert r.converged
+
+
+def test_sequential_and_tpu_agree_statistically(small_er):
+    """Outcome-metric agreement (SURVEY §10 hard part 4): both chains
+    converge and produce similar used-color counts on the same graph."""
+    n_col = small_er.max_degree
+    seq = SequentialMCMCColorer(small_er, _params(n_col)).run(seed=21)
+    par = MCMCColorer(
+        small_er, _params(n_col, proposal=ProposalKind.STANDARD)
+    ).run(seed=21)
+    assert seq.converged and par.extra["final_conflicts"] == 0
+    assert abs(seq.used_colors - par.used_colors) <= max(
+        5, 0.4 * max(seq.used_colors, par.used_colors)
+    )
