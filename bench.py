@@ -1,0 +1,162 @@
+"""Benchmark: MCMC balanced-coloring resample throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "vertex_updates_per_s_per_chip", "value": N, "unit": "updates/s",
+   "vs_baseline": R}
+
+``value``  — steady-state resample-sweep throughput of the flagship
+             balance-dynamic MCMC chain (full iteration: histogram +
+             dynamic distribution + proposal + sample + taboo + conflict
+             reduction) on ER(n=100k, p=0.01), the reference's
+             benchmark-scale config family (SURVEY §7).
+``vs_baseline`` — speedup of that per-vertex update rate over the
+             sequential CPU-semantics chain (the reference's own headline
+             comparison, T_MCMCCPU/T_MCMCGPU, doSpeedupGraph.py:62-92),
+             measured here on a smaller graph of the same degree regime.
+             The reference repo publishes no absolute numbers (BASELINE.md),
+             so the baseline is self-generated.
+
+Run: python bench.py          (uses the default device — the real TPU chip)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def tpu_sweep_rate(n=100_000, p=0.01, iters=20, seed=0) -> float:
+    from mcmc_colorer_tpu.config import MCMCParams, ProposalKind
+    from mcmc_colorer_tpu.graph.generate import erdos_renyi
+    from mcmc_colorer_tpu.models.mcmc import (
+        _conflict_edges,
+        _sweep,
+        _sweep_pallas,
+        _variant_distribution,
+        choose_block_size,
+    )
+    from mcmc_colorer_tpu.ops.neighbor import color_histogram
+
+    sweep_fn = (
+        _sweep_pallas
+        if jax.default_backend() not in ("cpu", "gpu")
+        else _sweep
+    )
+    log(f"sweep backend: {sweep_fn.__name__}")
+
+    t0 = time.perf_counter()
+    g = erdos_renyi(n, p, seed=seed)
+    log(
+        f"graph: n={g.n} m={g.n_edges} maxdeg={g.max_degree} "
+        f"({time.perf_counter()-t0:.1f}s to generate)"
+    )
+    params = MCMCParams(
+        n_colors=g.max_degree, proposal=ProposalKind.BALANCE_DYNAMIC
+    )
+    block = choose_block_size(g.n, params.n_colors)
+    ell = g.to_ell(pad_nodes_to=block)
+    n_pad = ell.n_pad
+
+    @jax.jit
+    def run_k(ell, colors, taboo, key):
+        def body(carry, it):
+            colors, taboo, key = carry
+            key, ku = jax.random.split(key)
+            unif = jax.random.uniform(ku, (n_pad,), dtype=jnp.float32)
+            hist = color_histogram(colors, params.n_colors, ell.node_mask)
+            p_eff = _variant_distribution(params, hist, ell.n_nodes)
+            star, taboo, _ = sweep_fn(
+                ell, params, block, colors, taboo, unif, p_eff
+            )
+            return (star, taboo, key), _conflict_edges(ell, star)
+
+        (colors, taboo, key), confl = jax.lax.scan(
+            body, (colors, taboo, key), jnp.arange(iters)
+        )
+        return colors, taboo, confl
+
+    key = jax.random.key(1)
+    colors = jnp.where(
+        ell.node_mask,
+        jax.random.randint(key, (n_pad,), 0, params.n_colors, jnp.int32),
+        jnp.int32(params.n_colors),
+    )
+    taboo = jnp.zeros((n_pad,), jnp.int32)
+
+    # NOTE: on the axon TPU tunnel `block_until_ready` does not actually
+    # synchronize; only a host readback does.  Timing therefore always
+    # flows through a small D2H readback, with the null roundtrip latency
+    # measured separately and subtracted.
+    t0 = time.perf_counter()
+    out = run_k(ell, colors, taboo, key)
+    tail = np.asarray(out[2])  # forces execution
+    compile_and_run = time.perf_counter() - t0
+
+    null = jax.jit(lambda: jnp.zeros(()))
+    float(null())
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(null())
+    roundtrip = (time.perf_counter() - t0) / 3
+
+    t0 = time.perf_counter()
+    out = run_k(ell, colors, taboo, key)
+    tail = np.asarray(out[2])
+    steady = max(1e-9, (time.perf_counter() - t0) - roundtrip)
+    log(
+        f"tpu: {iters} sweeps in {steady*1e3:.1f}ms "
+        f"(roundtrip correction {roundtrip*1e3:.1f}ms; first call incl. "
+        f"compile {compile_and_run:.1f}s); conflict tail {tail[-3:].tolist()}"
+    )
+    return g.n * iters / steady
+
+
+def cpu_seq_rate(n=3000, p=None, seed=0, mean_deg=1000) -> float:
+    """Per-vertex update rate of the sequential CPU-semantics chain on a
+    graph of the same degree regime (mean degree ~n·p of the TPU config)."""
+    from mcmc_colorer_tpu.config import MCMCParams
+    from mcmc_colorer_tpu.graph.generate import erdos_renyi
+    from mcmc_colorer_tpu.models.mcmc_sequential import SequentialMCMCColorer
+
+    p = p if p is not None else min(0.5, mean_deg / n)
+    g = erdos_renyi(n, p, seed=seed)
+    params = MCMCParams(n_colors=g.max_degree, max_iterations=3)
+    colorer = SequentialMCMCColorer(g, params)
+    t0 = time.perf_counter()
+    r = colorer.run(seed=1)
+    dt = time.perf_counter() - t0
+    sweeps = max(1, r.iterations)
+    log(
+        f"cpu-seq: {sweeps} sweeps over n={n} in {dt:.2f}s "
+        f"({g.n*sweeps/dt:.0f} updates/s)"
+    )
+    return g.n * sweeps / dt
+
+
+def main():
+    tpu_rate = tpu_sweep_rate()
+    cpu_rate = cpu_seq_rate()
+    print(
+        json.dumps(
+            {
+                "metric": "vertex_updates_per_s_per_chip",
+                "value": round(tpu_rate),
+                "unit": "updates/s",
+                "vs_baseline": round(tpu_rate / cpu_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Offline analysis: run-log parsing and quality metrics.
+
+Counterpart of the reference's pyScripts pipeline (SURVEY §2.4):
+``logParser.py`` (log → JSON), ``doBalIdxgraph.py`` (balance index),
+``doSpeedupGraph.py`` (speedups), ``checkNoConv*.py`` (non-convergence
+counts).  Parses the shared field-name contract
+("Nodes:", "Execution time:", "Iteration performed:", ... — reference
+coloringMCMC_CPUutils.cpp:70-102) so both the reference's logs and this
+framework's logs feed the same analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections import defaultdict
+
+import numpy as np
+
+_HIST_LINE = re.compile(r"^(\d+):\s*(\d+)\s*$")
+
+
+def parse_log_file(path: str) -> dict:
+    """Parse one ``<name>-<ALGO>-<rep>.log`` into a flat dict."""
+    out: dict = {"path": path}
+    hist: dict[int, int] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            m = _HIST_LINE.match(line)
+            if m:
+                hist[int(m.group(1))] = int(m.group(2))
+                continue
+            if line.startswith("Nodes:"):
+                parts = line.replace("-", " ").split()
+                out["nodes"] = int(parts[1])
+                if "Edges:" in line:
+                    out["edges"] = int(parts[parts.index("Edges:") + 1])
+            elif line.startswith("Max deg:"):
+                nums = re.findall(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", line)
+                if len(nums) >= 3:
+                    out["max_deg"], out["min_deg"], out["avg_deg"] = (
+                        float(nums[0]),
+                        float(nums[1]),
+                        float(nums[2]),
+                    )
+            elif line.startswith("Edge probability"):
+                out["prob"] = float(line.split(":")[-1])
+            elif line.startswith("Seed:"):
+                out["seed"] = int(float(line.split(":")[-1]))
+            elif line.startswith("Repetition:"):
+                out["repetition"] = int(line.split(":")[-1])
+            elif line.startswith("Execution time:"):
+                out["execution_time_s"] = float(line.split(":")[-1])
+            elif line.startswith("Iteration performed:"):
+                out["iterations"] = int(line.split(":")[-1])
+            elif line.startswith("Max iteration reached:"):
+                out["max_iteration_reached"] = "yes" in line
+            elif line.startswith("Number of colors:"):
+                nums = re.findall(r"\d+", line)
+                out["n_colors"] = int(nums[0])
+                if len(nums) > 1:
+                    out["used_colors"] = int(nums[1])
+            elif line.startswith("Color ratio:"):
+                out["color_ratio"] = float(line.split(":")[-1])
+            elif line.startswith("Average number of nodes for each color:"):
+                out["class_mean"] = float(line.split(":")[-1])
+            elif line.startswith("Variance:"):
+                out["class_variance"] = float(line.split(":")[-1])
+            elif line.startswith("StD:"):
+                out["class_std"] = float(line.split(":")[-1])
+            elif line.startswith("BalancingIndex"):
+                out["balancing_index"] = float(line.split()[-1])
+    if hist:
+        out["histogram"] = [hist.get(i, 0) for i in range(max(hist) + 1)]
+    return out
+
+
+_LOG_NAME = re.compile(r"^(?P<name>.+)-(?P<algo>[A-Za-z_]+)-(?P<rep>\d+)\.log$")
+
+
+def parse_results_dir(root: str) -> dict:
+    """Walk a results tree, parse every run log, and group by algorithm —
+    the role of logParser.py's directory walkers (logParser.py:243-265).
+    Returns {algo: [run dict, ...]}."""
+    results: dict[str, list] = defaultdict(list)
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            m = _LOG_NAME.match(fn)
+            if not m:
+                continue
+            rec = parse_log_file(os.path.join(dirpath, fn))
+            rec["graph_name"] = m.group("name")
+            rec["repetition"] = int(m.group("rep"))
+            results[m.group("algo")].append(rec)
+    return dict(results)
+
+
+def save_results_json(root: str, out_path: str) -> dict:
+    """logParser.py's final merged-JSON output (finalRes.json role)."""
+    res = parse_results_dir(root)
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=1)
+    return res
+
+
+# ------------------------------ metrics ------------------------------------
+
+
+def balance_index(histogram, n_nodes: int, prob: float) -> float:
+    """BI = sqrt(Σ_{used}(count − n/nCol)² / (n·p)) — identical to
+    coloringMCMC_prints.cu:162-167 / doBalIdxgraph.py:10-16."""
+    h = np.asarray(histogram, dtype=np.float64)
+    k = len(h)
+    avg = n_nodes / k
+    used = h > 0
+    return float(np.sqrt(((h[used] - avg) ** 2).sum() / (n_nodes * prob)))
+
+
+def count_non_convergent(runs: list[dict]) -> int:
+    """checkNoConv*.py: count runs that hit the iteration cap."""
+    return sum(1 for r in runs if r.get("max_iteration_reached"))
+
+
+def speedups(results: dict) -> dict:
+    """Mean execution-time ratios between algorithms, per graph size — the
+    measurements of doSpeedupGraph.py:62-92 (T_seq/T_parallel etc.)."""
+    mean_t: dict[str, dict] = {}
+    for algo, runs in results.items():
+        per_graph = defaultdict(list)
+        for r in runs:
+            per_graph[r.get("nodes")].append(r.get("execution_time_s", 0.0))
+        mean_t[algo] = {k: float(np.mean(v)) for k, v in per_graph.items()}
+    out = {}
+    pairs = [
+        ("MCMC_CPU", "MCMC_TPU"),
+        ("LUBY", "MCMC_TPU"),
+        ("MCMC_CPU", "MCMC_GPU"),
+        ("LUBY", "MCMC_GPU"),
+    ]
+    for a, b in pairs:
+        if a in mean_t and b in mean_t:
+            common = set(mean_t[a]) & set(mean_t[b])
+            out[f"{a}/{b}"] = {
+                n: mean_t[a][n] / mean_t[b][n]
+                for n in sorted(common)
+                if mean_t[b][n] > 0
+            }
+    return out
+
+
+def plot_balance_index(results: dict, out_path: str, prob: float) -> bool:
+    """doBalIdxgraph.py-style plot; returns False when matplotlib is
+    unavailable (zero-egress images may lack it)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for algo, runs in sorted(results.items()):
+        pts = [
+            (r["nodes"], balance_index(r["histogram"], r["nodes"], prob))
+            for r in runs
+            if r.get("histogram") and abs(r.get("prob", prob) - prob) < 1e-12
+        ]
+        if not pts:
+            continue
+        pts.sort()
+        ax.plot(*zip(*pts), marker="o", label=algo)
+    ax.set_xlabel("nodes")
+    ax.set_ylabel("balance index")
+    ax.set_title(f"Balance index vs graph size (p={prob})")
+    ax.legend()
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return True

@@ -1,0 +1,319 @@
+"""Command-line driver.
+
+Mirrors the reference CLI surface (ArgHandle.cpp:31-58, displayHelp
+:310-340): same long options (``--graph/--simulate/-n/--nCol/--numColRatio/
+--tabooIterations/--tailcut/--repet/--seed/--outDir`` and the five
+algorithm flags), same output contract (``<name>-<ALGO>-<rep>.log`` +
+``...-colors.txt`` in ``<graphName>_out``), plus TPU-native extensions
+(multi-chain ensembles, mesh sharding, proposal/backend selection).
+
+Algorithm naming note: ``--mcmcgpu``/``--lubygpu``/``--grdffgpu``/
+``--vffgpu`` run the device-parallel colorers (TPU here, GPU in the
+reference); ``--mcmccpu`` runs the sequential-semantics chain.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from mcmc_colorer_tpu.config import (
+    ColorerKind,
+    MCMCParams,
+    ProposalKind,
+    default_n_colors,
+)
+from mcmc_colorer_tpu.graph.container import Graph
+from mcmc_colorer_tpu.graph.generate import erdos_renyi
+from mcmc_colorer_tpu.graph.io import load_edge_list
+from mcmc_colorer_tpu.models.base import check_coloring
+from mcmc_colorer_tpu.utils.logging import save_run
+
+_LOGO = r"""
+  __  __  ___ __  __  ___    ___     _                      _____ ___ _   _
+ |  \/  |/ __|  \/  |/ __|  / __|___| |___ _ _ ___ _ _     |_   _| _ \ | | |
+ | |\/| | (__| |\/| | (__  | (__/ _ \ / _ \ '_/ -_) '_|      | | |  _/ |_| |
+ |_|  |_|\___|_|  |_|\___|  \___\___/_\___/_| \___|_|        |_| |_|  \___/
+"""
+
+_CITATION = (
+    "Based on: Conte, Grossi, Lanzarotti, Lin, Petrini,\n"
+    '"A parallel MCMC algorithm for the Balanced Graph Coloring problem",\n'
+    "IAPR TC-15 Workshop on Graph-based Representations (GbR 2019)."
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mcmc-colorer",
+        description="TPU-native balanced graph coloring framework.",
+        epilog=_CITATION,
+    )
+    ds = p.add_argument_group("Dataset")
+    ds.add_argument("--graph", metavar="file.txt", help="input edge list")
+    ds.add_argument("--outDir", dest="out_dir", help="output directory")
+    ds.add_argument(
+        "--simulate",
+        type=float,
+        metavar="P",
+        help="simulate an Erdős–Rényi graph with edge probability P",
+    )
+    ds.add_argument("-n", "--nodes", type=int, default=0, help="node count")
+    alg = p.add_argument_group("Coloring algorithm")
+    alg.add_argument("--mcmccpu", action="store_true", help="sequential MCMC")
+    alg.add_argument("--mcmcgpu", action="store_true", help="parallel MCMC")
+    alg.add_argument("--lubygpu", action="store_true", help="Luby MIS")
+    alg.add_argument("--grdffgpu", action="store_true", help="Greedy FF")
+    alg.add_argument("--vffgpu", action="store_true", help="GFF + VFF rebalance")
+    mc = p.add_argument_group("Coloring options (MCMC)")
+    mc.add_argument("--nCol", dest="n_col", type=int, default=0)
+    mc.add_argument(
+        "--numColRatio", dest="num_col_ratio", type=float, default=1.0
+    )
+    mc.add_argument(
+        "--tabooIterations", dest="taboo_iterations", type=int, default=0
+    )
+    mc.add_argument("--tailcut", action="store_true")
+    mc.add_argument(
+        "--proposal",
+        choices=[k.value for k in ProposalKind],
+        default=ProposalKind.BALANCE_DYNAMIC.value,
+        help="MCMC proposal variant (reference default: balance_dynamic)",
+    )
+    mc.add_argument(
+        "--hastings",
+        action="store_true",
+        help="enable Metropolis-Hastings acceptance (off in the reference)",
+    )
+    gen = p.add_argument_group("General")
+    gen.add_argument("--repet", type=int, default=1)
+    gen.add_argument(
+        "--seed", type=int, default=None, help="RNG seed (default: time)"
+    )
+    tpu = p.add_argument_group("TPU scaling (no reference counterpart)")
+    tpu.add_argument(
+        "--chains", type=int, default=1, help="independent chains (ensemble)"
+    )
+    tpu.add_argument("--mesh-chains", type=int, default=0)
+    tpu.add_argument("--mesh-shards", type=int, default=0)
+    tpu.add_argument(
+        "--backend", choices=["auto", "pallas", "xla"], default="auto"
+    )
+    tpu.add_argument(
+        "--anneal", action="store_true", help="pooled epsilon annealing"
+    )
+    p.add_argument("--check", action="store_true", help="validate colorings")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def _load_graph(args) -> tuple[Graph, float | None]:
+    if args.graph:
+        g = load_edge_list(args.graph)
+        return g, None
+    if args.simulate is None:
+        print(
+            "Either --graph or --simulate must be given (see --help).",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    if not (0.0 < args.simulate < 1.0):
+        print("Simulation: P must be 0 < P < 1.", file=sys.stderr)
+        sys.exit(2)
+    if args.nodes <= 0:
+        print("Simulation: -n N (positive) is mandatory.", file=sys.stderr)
+        sys.exit(2)
+    seed = args.seed if args.seed is not None else int(time.time())
+    g = erdos_renyi(args.nodes, args.simulate, seed=seed)
+    return g, args.simulate
+
+
+def _algos(args) -> list[ColorerKind]:
+    sel = []
+    if args.mcmccpu:
+        sel.append(ColorerKind.MCMC_SEQ)
+    if args.mcmcgpu:
+        sel.append(ColorerKind.MCMC)
+    if args.lubygpu:
+        sel.append(ColorerKind.LUBY)
+    if args.grdffgpu:
+        sel.append(ColorerKind.GREEDY_FF)
+    if args.vffgpu:
+        sel.append(ColorerKind.VFF)
+    if not sel:
+        # reference default: MCMC CPU (ArgHandle.cpp:247-249)
+        print(
+            "No colorer selected: defaulting to sequential MCMC (--mcmccpu).",
+            file=sys.stderr,
+        )
+        sel.append(ColorerKind.MCMC_SEQ)
+    return sel
+
+
+_ALGO_TAG = {
+    ColorerKind.MCMC_SEQ: "MCMC_CPU",
+    ColorerKind.MCMC: "MCMC_TPU",
+    ColorerKind.LUBY: "LUBY",
+    ColorerKind.GREEDY_FF: "GFF",
+    ColorerKind.VFF: "VFF",
+}
+
+
+def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
+    if kind == ColorerKind.MCMC_SEQ:
+        from mcmc_colorer_tpu.models.mcmc_sequential import (
+            SequentialMCMCColorer,
+        )
+
+        return SequentialMCMCColorer(g, params)
+    if kind == ColorerKind.MCMC:
+        if args.mesh_chains or args.mesh_shards:
+            from mcmc_colorer_tpu.parallel.mesh import make_mesh
+            from mcmc_colorer_tpu.parallel.sharded import (
+                AnnealConfig,
+                ShardedMCMCColorer,
+            )
+
+            mesh = make_mesh(
+                chains=args.mesh_chains or None,
+                shards=args.mesh_shards or None,
+            )
+            inner = ShardedMCMCColorer(
+                g,
+                params,
+                mesh,
+                n_chains=max(args.chains, mesh.shape["chains"]),
+                anneal=AnnealConfig(enabled=args.anneal),
+            )
+            return _BestOfWrapper(inner)
+        if args.chains > 1:
+            from mcmc_colorer_tpu.parallel.chains import EnsembleMCMCColorer
+
+            return _BestOfWrapper(
+                EnsembleMCMCColorer(g, params, n_chains=args.chains)
+            )
+        from mcmc_colorer_tpu.models.mcmc import MCMCColorer
+
+        return MCMCColorer(g, params, backend=args.backend)
+    if kind == ColorerKind.LUBY:
+        from mcmc_colorer_tpu.models.luby import LubyColorer
+
+        return LubyColorer(g)
+    if kind == ColorerKind.GREEDY_FF:
+        from mcmc_colorer_tpu.models.greedy_ff import GreedyFFColorer
+
+        return GreedyFFColorer(g)
+    if kind == ColorerKind.VFF:
+        from mcmc_colorer_tpu.models.vff import VFFColorer
+
+        return VFFColorer(g)
+    raise ValueError(kind)
+
+
+class _BestOfWrapper:
+    """Adapts ensemble colorers (returning (best, summaries)) to the
+    single-result colorer interface."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def run(self, seed, repetition=0):
+        best, _summaries = self.inner.run(seed, repetition)
+        return best
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.quiet:
+        print(_LOGO)
+        print(_CITATION)
+        print()
+    seed = args.seed if args.seed is not None else int(time.time())
+    g, prob = _load_graph(args)
+    ratio = min(16.0, max(1.0, args.num_col_ratio))
+    n_col = args.n_col or default_n_colors(g.max_degree, ratio)
+    params = MCMCParams(
+        n_colors=n_col,
+        taboo_iterations=args.taboo_iterations,
+        tailcut=args.tailcut,
+        proposal=ProposalKind(args.proposal),
+        hastings=args.hastings,
+    )
+    graph_name = (
+        g.name
+        if args.graph
+        else f"{args.nodes}_{args.simulate}_{ratio}"
+    )
+    out_dir = args.out_dir or f"{graph_name}_out"
+    if not args.quiet:
+        print(
+            f"Graph: {graph_name} — n={g.n} m={g.n_edges} "
+            f"maxDeg={g.max_degree} meanDeg={g.mean_degree:.2f}"
+        )
+        print(f"Colors: {n_col} (ratio {ratio}) — seed {seed}")
+
+    rc = 0
+    for kind in _algos(args):
+        colorer = _make_colorer(kind, g, args, params)
+        tag = _ALGO_TAG[kind]
+        for rep in range(args.repet):
+            result = colorer.run(seed, repetition=rep)
+            log_path, _ = save_run(
+                out_dir,
+                graph_name,
+                tag,
+                rep,
+                g,
+                result,
+                seed=seed,
+                prob=prob,
+                num_color_ratio=ratio,
+            )
+            valid = (
+                check_coloring(g, result.colors) if args.check else None
+            )
+            if args.check and not valid:
+                rc = 1
+            if not args.quiet:
+                extra = (
+                    ""
+                    if valid is None
+                    else (" — VALID" if valid else " — INVALID!")
+                )
+                print(
+                    f"{tag} rep {rep}: colors used "
+                    f"{len(np.unique(result.colors))}/{result.n_colors}, "
+                    f"iterations {result.iterations}, "
+                    f"{result.duration_ms:.0f} ms, "
+                    f"converged={result.converged}{extra} → {log_path}"
+                )
+    return rc
+
+
+def dataset_gen_main(argv=None) -> int:
+    """``datasetGen`` equivalent (datasetGenerator.cpp:21-24):
+    ``dataset-gen nNodes prob outFile [seed]``."""
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 3:
+        print("Usage: dataset-gen nNodes prob outFile [seed]", file=sys.stderr)
+        return 2
+    n, prob, out = int(argv[0]), float(argv[1]), argv[2]
+    seed = int(argv[3]) if len(argv) > 3 else 10000  # fixed default seed,
+    # like the reference (datasetGenerator.cpp:39)
+    from mcmc_colorer_tpu.graph import native
+
+    if native.available():
+        m = native.generate_dataset(out, n, prob, seed=seed)
+    else:
+        from mcmc_colorer_tpu.graph.io import generate_dataset
+
+        m = generate_dataset(n, prob, out, seed=seed).n_edges
+    print(f"Wrote {out}: {n} nodes, {m} edges.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

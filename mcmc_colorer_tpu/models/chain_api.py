@@ -1,0 +1,268 @@
+"""Stepped chain API: inspection, live parameter editing, checkpoint/resume.
+
+The reference's only runtime introspection is an interactive tty REPL
+attached to the CPU chain (src/utils/dbg.cpp: print/edit chain variables,
+live ε editing, dbg.cpp:358-381) and it has **no** checkpointing
+(SURVEY §6).  This module supersedes both with a functional API:
+
+* ``ChainState`` — the full chain state (colors, taboo, RNG key, iteration,
+  conflicts) as a pytree;
+* ``SteppedMCMC.step(state, n, epsilon=...)`` — advance n sweeps under jit,
+  optionally overriding ε mid-run (the dbg 'edit epsilon' feature);
+* ``inspect(state)`` — the dbg print_var set: violation counts, histogram,
+  free-color stats (min/max/avg of Zp, reference
+  coloringMCMC_prints.cu:117-131), class-size stats;
+* ``save_checkpoint``/``load_checkpoint`` — colors + key + iteration to an
+  ``.npz``, enabling resume across processes/hosts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmc_colorer_tpu.config import MCMCParams
+from mcmc_colorer_tpu.graph.container import Graph
+from mcmc_colorer_tpu.models.base import Coloring
+from mcmc_colorer_tpu.models.mcmc import (
+    _conflict_edges,
+    _init_colors,
+    _needs_histogram,
+    _sweep,
+    _sweep_pallas,
+    _tailcut,
+    _variant_distribution,
+    choose_block_size,
+)
+from mcmc_colorer_tpu.ops.neighbor import (
+    color_histogram,
+    neighbor_colors,
+    occupancy_matrix,
+)
+from mcmc_colorer_tpu.utils import rng as rngu
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ChainState:
+    colors: jnp.ndarray      # [n_pad] int32
+    taboo: jnp.ndarray       # [n_pad] int32
+    key: jnp.ndarray         # PRNG key
+    iteration: jnp.ndarray   # int32 scalar
+    conflicts: jnp.ndarray   # int32 scalar (conflict edges)
+
+
+class SteppedMCMC:
+    """Host-driven stepped execution of the MCMC chain.  Semantically
+    identical to ``MCMCColorer`` (same sweep code), but the iteration loop
+    lives on the host so state can be inspected/saved between segments."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        params: MCMCParams,
+        block_size: int | None = None,
+        backend: str = "auto",
+    ) -> None:
+        self.graph = graph
+        self.params = params
+        self.block = block_size or choose_block_size(graph.n, params.n_colors)
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if jax.default_backend() not in ("cpu", "gpu")
+                else "xla"
+            )
+        self.backend = backend
+        self.ell = graph.to_ell(pad_nodes_to=self.block)
+        self._step_k = jax.jit(
+            partial(
+                _step_segment,
+                params=params,
+                block=self.block,
+                backend=backend,
+            ),
+            static_argnames=("n_steps",),
+        )
+
+    def init_state(self, seed: int, repetition: int = 0) -> ChainState:
+        key = rngu.for_repetition(rngu.root_key(seed), repetition)
+        key, k_init = jax.random.split(key)
+        colors = _init_colors(self.ell, self.params, k_init)
+        return ChainState(
+            colors=colors,
+            taboo=jnp.zeros((self.ell.n_pad,), jnp.int32),
+            key=key,
+            iteration=jnp.int32(0),
+            conflicts=_conflict_edges(self.ell, colors),
+        )
+
+    def step(
+        self,
+        state: ChainState,
+        n_steps: int = 1,
+        epsilon: float | None = None,
+    ) -> ChainState:
+        """Advance up to ``n_steps`` sweeps (converged chains stop
+        resampling).  ``epsilon`` overrides params.epsilon for this segment
+        — the dbg live-edit (dbg.cpp:358-381)."""
+        eps = jnp.float32(
+            self.params.epsilon if epsilon is None else epsilon
+        )
+        return self._step_k(self.ell, state, eps, n_steps=n_steps)
+
+    def run(
+        self,
+        seed: int,
+        repetition: int = 0,
+        segment: int = 50,
+        checkpoint_path: str | None = None,
+        resume_from: str | None = None,
+    ) -> Coloring:
+        """Full run in host-visible segments with optional periodic
+        checkpointing; resumes from ``resume_from`` if given."""
+        import time
+
+        t0 = time.perf_counter()
+        if resume_from:
+            state = self.load_checkpoint(resume_from)
+        else:
+            state = self.init_state(seed, repetition)
+        z = self.params.tailcut_threshold(self.graph.n)
+        while (
+            int(state.conflicts) > z
+            and int(state.iteration) < self.params.max_iterations
+        ):
+            n = min(
+                segment, self.params.max_iterations - int(state.iteration)
+            )
+            state = self.step(state, n_steps=n)
+            if checkpoint_path:
+                self.save_checkpoint(state, checkpoint_path)
+        colors, conflicts = state.colors, state.conflicts
+        tc_rounds = 0
+        if self.params.tailcut and int(conflicts) > 0:
+            key, k_tc = jax.random.split(state.key)
+            colors, conflicts, tcr = jax.jit(
+                partial(_tailcut, self.ell, self.params, self.block)
+            )(colors, conflicts, k_tc)
+            tc_rounds = int(tcr)
+        rip = int(state.iteration)
+        return Coloring(
+            colors=np.asarray(colors)[: self.graph.n],
+            n_colors=self.params.n_colors,
+            iterations=rip,
+            converged=int(conflicts) <= z,
+            duration_ms=(time.perf_counter() - t0) * 1e3,
+            extra={
+                "final_conflicts": int(conflicts),
+                "max_iter_reached": rip >= self.params.max_iterations,
+                "tailcut_rounds": tc_rounds,
+            },
+        )
+
+    # ---- inspection (dbg print_var set, dbg.cpp:113-158) ----------------
+
+    def inspect(self, state: ChainState) -> dict:
+        ell = self.ell
+        colors = state.colors
+        nc = neighbor_colors(ell.neighbors, colors)
+        viol = jnp.any(nc == colors[:, None], axis=1) & ell.node_mask
+        # free-color stats over a sample block to bound cost (the
+        # reference computes them for all nodes, _prints.cu:117-131)
+        occ = occupancy_matrix(nc[: self.block], self.params.n_colors)
+        zp = self.params.n_colors - jnp.sum(
+            occ, axis=1, dtype=jnp.int32
+        )
+        zp = zp[
+            : min(self.block, self.graph.n)
+        ]
+        hist = color_histogram(colors, self.params.n_colors, ell.node_mask)
+        h = np.asarray(hist)
+        return {
+            "iteration": int(state.iteration),
+            "conflict_edges": int(state.conflicts),
+            "violating_nodes": int(jnp.sum(viol)),
+            "taboo_active": int(jnp.sum(state.taboo > 0)),
+            "histogram": h,
+            "used_colors": int((h > 0).sum()),
+            "class_std": float(h.std()),
+            "free_colors_min": int(zp.min()),
+            "free_colors_max": int(zp.max()),
+            "free_colors_avg": float(zp.mean()),
+        }
+
+    # ---- checkpointing --------------------------------------------------
+
+    def save_checkpoint(self, state: ChainState, path: str) -> None:
+        np.savez(
+            path,
+            colors=np.asarray(state.colors),
+            taboo=np.asarray(state.taboo),
+            key=np.asarray(jax.random.key_data(state.key)),
+            iteration=int(state.iteration),
+            conflicts=int(state.conflicts),
+            n_colors=self.params.n_colors,
+            n_nodes=self.graph.n,
+        )
+
+    def load_checkpoint(self, path: str) -> ChainState:
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        d = np.load(path)
+        assert int(d["n_nodes"]) == self.graph.n, "graph mismatch"
+        assert int(d["n_colors"]) == self.params.n_colors, "palette mismatch"
+        return ChainState(
+            colors=jnp.asarray(d["colors"]),
+            taboo=jnp.asarray(d["taboo"]),
+            key=jax.random.wrap_key_data(jnp.asarray(d["key"])),
+            iteration=jnp.int32(int(d["iteration"])),
+            conflicts=jnp.int32(int(d["conflicts"])),
+        )
+
+
+def _step_segment(
+    ell,
+    state: ChainState,
+    eps,
+    *,
+    params: MCMCParams,
+    block: int,
+    backend: str,
+    n_steps: int,
+):
+    z = jnp.int32(params.tailcut_threshold(ell.n_nodes))
+    sweep_fn = _sweep_pallas if backend == "pallas" else _sweep
+
+    def body(st, _):
+        def do(st):
+            key, k_u = jax.random.split(st.key)
+            unif = jax.random.uniform(
+                k_u, (ell.n_pad,), dtype=jnp.float32
+            )
+            hist = (
+                color_histogram(st.colors, params.n_colors, ell.node_mask)
+                if _needs_histogram(params)
+                else None
+            )
+            p_eff = _variant_distribution(params, hist, ell.n_nodes)
+            star, taboo, _ = sweep_fn(
+                ell, params, block, st.colors, st.taboo, unif, p_eff, eps
+            )
+            return ChainState(
+                colors=star,
+                taboo=taboo,
+                key=key,
+                iteration=st.iteration + 1,
+                conflicts=_conflict_edges(ell, star),
+            )
+
+        st = jax.lax.cond(st.conflicts > z, do, lambda s: s, st)
+        return st, st.conflicts
+
+    state, _trace = jax.lax.scan(body, state, None, length=n_steps)
+    return state

@@ -105,19 +105,27 @@ def _proposal_q(
     params: MCMCParams,
     p_eff: jnp.ndarray | None,  # [nCol] variant distribution (already
                                  # orderedIndex-permuted where applicable)
+    eps: jnp.ndarray | None = None,  # dynamic ε override (pooled annealing)
+    n_colors: int | None = None,     # palette size when occ's color axis is
+                                     # padded (Pallas path); padded columns
+                                     # must be un-occupied and get q = 0
+    cumsum=jnp.cumsum,               # Mosaic lacks a cumsum lowering; the
+                                     # Pallas kernel substitutes a manual
+                                     # log-step prefix sum
 ) -> jnp.ndarray:
-    """[B, nCol] proposal probabilities — vectorization of the reference's
-    selectStarColoring* per-color CDF terms (exact formulas:
+    """[B, nColPad] proposal probabilities — vectorization of the
+    reference's selectStarColoring* per-color CDF terms (exact formulas:
     _standard.cu:50-58, _decrease.cu:50-58, _balance.cu:122-135)."""
-    n_colors = occ.shape[1]
-    eps = jnp.float32(params.epsilon)
-    free = ~occ
+    width = occ.shape[1]
+    n_colors = n_colors or width
+    eps = jnp.float32(params.epsilon) if eps is None else eps
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    col_valid = col_ids < n_colors
+    free = ~occ & col_valid
     zn = jnp.sum(occ, axis=1, dtype=jnp.int32)
     zp = jnp.int32(n_colors) - zn
     zp_f = jnp.maximum(zp, 1).astype(jnp.float32)
-    col_is_cur = (
-        jnp.arange(n_colors, dtype=jnp.int32)[None, :] == cur[:, None]
-    )
+    col_is_cur = col_ids == cur[:, None]
     # keep-current distribution (non-violating case, _standard.cu:55-57)
     keep_q = jnp.where(col_is_cur, 1.0 - (n_colors - 1) * eps, eps)
 
@@ -146,7 +154,7 @@ def _proposal_q(
         reminder = jnp.sum(
             jnp.where(occ, p_eff[None, :] - eps, 0.0), axis=1
         )
-        j = jnp.cumsum(free.astype(jnp.float32), axis=1) - 1.0
+        j = cumsum(free.astype(jnp.float32), axis=1) - 1.0
         if params.lambda_ == 0.0:
             denom_r = zp_f
             w = jnp.ones_like(j) / denom_r[:, None]
@@ -157,21 +165,28 @@ def _proposal_q(
     else:  # pragma: no cover
         raise ValueError(f"unknown proposal {kind}")
 
-    violating = jnp.take_along_axis(occ, cur[:, None], axis=1)[:, 0]
+    # occ[v, cur[v]] without a gather (Mosaic-friendly)
+    violating = jnp.sum((occ & col_is_cur).astype(jnp.int32), axis=1) > 0
     q = jnp.where((violating & (zp > 0))[:, None], move_q, keep_q)
     # no free color: keep current with probability 1 (_standard.cu:40-44)
     q = jnp.where((zp == 0)[:, None], col_is_cur.astype(jnp.float32), q)
-    return q
+    # padded palette columns carry no probability mass
+    return jnp.where(col_valid, q, 0.0)
 
 
-def _sample_cdf(q: jnp.ndarray, unif: jnp.ndarray) -> jnp.ndarray:
+def _sample_cdf(
+    q: jnp.ndarray,
+    unif: jnp.ndarray,
+    n_colors: int | None = None,
+    cumsum=jnp.cumsum,
+) -> jnp.ndarray:
     """Inverse-CDF walk: first color whose cumulative probability reaches
     the uniform — bit-exact with the reference's do/while threshold walk
     given the same uniform (overflow guard picks the last color,
     _standard.cu:50-58)."""
-    cdf = jnp.cumsum(q, axis=1)
+    cdf = cumsum(q, axis=1)
     chosen = jnp.sum(cdf < unif[:, None], axis=1, dtype=jnp.int32)
-    return jnp.minimum(chosen, q.shape[1] - 1)
+    return jnp.minimum(chosen, (n_colors or q.shape[1]) - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -191,13 +206,25 @@ class MCMCColorer:
         graph: Graph,
         params: MCMCParams,
         block_size: int | None = None,
+        backend: str = "auto",
     ) -> None:
+        """``backend``: 'pallas' (fused kernel, TPU), 'xla' (portable
+        reference path), or 'auto' (pallas on TPU, xla elsewhere)."""
         self.graph = graph
         self.params = params
         self.block = block_size or choose_block_size(graph.n, params.n_colors)
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if jax.default_backend() not in ("cpu", "gpu")
+                else "xla"
+            )
+        self.backend = backend
         self.ell = graph.to_ell(pad_nodes_to=self.block)
         self._jit_run = jax.jit(
-            partial(_run_chain, params=params, block=self.block)
+            partial(
+                _run_chain, params=params, block=self.block, backend=backend
+            )
         )
 
     def run(self, seed: int, repetition: int = 0) -> Coloring:
@@ -311,6 +338,44 @@ def _needs_histogram(params: MCMCParams) -> bool:
     )
 
 
+def _sweep_pallas(
+    ell: EllGraph,
+    params: MCMCParams,
+    block: int,
+    colors: jnp.ndarray,
+    taboo: jnp.ndarray,
+    unif: jnp.ndarray,
+    p_eff: jnp.ndarray | None,
+    eps: jnp.ndarray | None = None,
+):
+    """Proposal sweep via the fused Pallas kernel (bit-packed occupancy in
+    VMEM — see ops/pallas_resample.py).  Bit-identical in distribution to
+    `_sweep`; the neighbor-color gather stays in XLA."""
+    from mcmc_colorer_tpu.ops.pallas_resample import pallas_sweep
+
+    nc = neighbor_colors(ell.neighbors, colors)
+    p_eff_arr = (
+        p_eff
+        if p_eff is not None
+        else jnp.zeros((params.n_colors,), jnp.float32)
+    )
+    star, qstar, new_taboo = pallas_sweep(
+        nc,
+        colors,
+        taboo,
+        unif,
+        p_eff_arr,
+        jnp.float32(params.epsilon) if eps is None else eps,
+        params=params,
+        block=min(block, 256),
+    )
+    star = jnp.where(ell.node_mask, star, colors)
+    qstar = jnp.where(ell.node_mask, qstar, 1.0)
+    new_taboo = jnp.where(ell.node_mask, new_taboo, 0)
+    logq = jnp.sum(jnp.log(jnp.maximum(qstar, 1e-30)))
+    return star, new_taboo, logq
+
+
 def _sweep(
     ell: EllGraph,
     params: MCMCParams,
@@ -319,6 +384,7 @@ def _sweep(
     taboo: jnp.ndarray,
     unif: jnp.ndarray,
     p_eff: jnp.ndarray | None,
+    eps: jnp.ndarray | None = None,
 ):
     """One full proposal sweep: returns (star_colors, new_taboo,
     Σ log qStar).  Synchronous update over the old coloring, exactly like
@@ -332,7 +398,7 @@ def _sweep(
         neigh_blk, cur_blk, taboo_blk, unif_blk, real_blk = xs
         nc = neighbor_colors(neigh_blk, colors)
         occ = occupancy_matrix(nc, n_colors)
-        q = _proposal_q(cur_blk, occ, params, p_eff)
+        q = _proposal_q(cur_blk, occ, params, p_eff, eps=eps)
         chosen = _sample_cdf(q, unif_blk)
         qstar = jnp.take_along_axis(q, chosen[:, None], axis=1)[:, 0]
         # taboo: explicit keep (intended semantics of _standard.cu:15-20;
@@ -527,7 +593,14 @@ def _tailcut(
     return colors, conflicts, rounds
 
 
-def _run_chain(ell: EllGraph, key, *, params: MCMCParams, block: int):
+def _run_chain(
+    ell: EllGraph,
+    key,
+    *,
+    params: MCMCParams,
+    block: int,
+    backend: str = "xla",
+):
     """Full chain: init → while-loop of sweeps → optional tailcut.
     Mirrors ColoringMCMC::run (coloringMCMC_main.cu:100-290) with zero host
     round-trips."""
@@ -553,7 +626,8 @@ def _run_chain(ell: EllGraph, key, *, params: MCMCParams, block: int):
         else:
             hist = None
         p_eff = _variant_distribution(params, hist, ell.n_nodes)
-        star, new_taboo, logq_star = _sweep(
+        sweep_fn = _sweep_pallas if backend == "pallas" else _sweep
+        star, new_taboo, logq_star = sweep_fn(
             ell, params, block, colors, taboo, unif, p_eff
         )
         conflicts_star = _conflict_edges(ell, star)

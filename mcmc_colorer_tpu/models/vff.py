@@ -107,8 +107,13 @@ def _run_vff(ell: EllGraph, *, max_colors: int, block: int):
             occ = occ.at[
                 jnp.arange(cur_blk.shape[0]), jnp.clip(cur_blk, 0, max_colors - 1)
             ].set(True)
-            # permissible AND undersized target (intended semantics)
-            eligible = (~occ) & (bins < gamma)[None, :]
+            # permissible AND undersized target within the used palette
+            # (the reference scans i = 1..numColors only, coloringVFF.cu:381)
+            in_palette = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, max_colors), 1)
+                < n_used
+            )
+            eligible = (~occ) & (bins < gamma)[None, :] & in_palette
             k = jnp.argmax(eligible, axis=1).astype(jnp.int32)
             found = jnp.any(eligible, axis=1)
             return jnp.where(unb_blk & found, k, cur_blk)

@@ -41,6 +41,9 @@ def occupancy_matrix(neigh_cols: jnp.ndarray, n_colors: int) -> jnp.ndarray:
     rows = jnp.broadcast_to(
         jnp.arange(b, dtype=jnp.int32)[:, None], neigh_cols.shape
     )
+    # negative padding sentinels would WRAP under .at[] indexing; shift
+    # them beyond the palette so mode="drop" discards them
+    neigh_cols = jnp.where(neigh_cols < 0, jnp.int32(n_colors), neigh_cols)
     occ = jnp.zeros((b, n_colors), dtype=jnp.bool_)
     return occ.at[rows, neigh_cols].set(True, mode="drop")
 

@@ -31,6 +31,15 @@ def test_greedy_ff_medium(medium_er):
     assert check_coloring(medium_er, r.colors)
 
 
+def test_vff_stays_in_palette(small_er, medium_er):
+    """Rebalancing must not invent colors beyond the GFF palette
+    (reference coloringVFF.cu:381 scans only the used colors)."""
+    for g in (small_er, medium_er):
+        r = VFFColorer(g).run()
+        assert int(np.max(r.colors)) < r.n_colors
+        assert len(np.unique(r.colors)) <= r.n_colors
+
+
 def test_vff_valid_and_balanced(medium_er):
     gff = GreedyFFColorer(medium_er).run()
     vff = VFFColorer(medium_er).run()

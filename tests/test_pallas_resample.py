@@ -1,0 +1,87 @@
+"""The Pallas kernel must be bit-identical to the XLA sweep path (same
+formulas, same CDF walk, same uniforms) — run in interpreter mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcmc_colorer_tpu.config import MCMCParams, ProposalKind
+from mcmc_colorer_tpu.models.mcmc import (
+    _needs_histogram,
+    _sweep,
+    _variant_distribution,
+)
+from mcmc_colorer_tpu.ops.neighbor import color_histogram, neighbor_colors
+from mcmc_colorer_tpu.ops.pallas_resample import pallas_sweep
+
+
+@pytest.mark.parametrize(
+    "kind",
+    [
+        ProposalKind.STANDARD,
+        ProposalKind.BALANCE_DYNAMIC,
+        ProposalKind.DECREASE_EXP,
+        ProposalKind.BALANCE_LINE,
+    ],
+)
+@pytest.mark.parametrize("taboo_iters", [0, 3])
+def test_pallas_matches_xla_sweep(medium_er, kind, taboo_iters):
+    g = medium_er
+    params = MCMCParams(
+        n_colors=g.max_degree,
+        proposal=kind,
+        taboo_iterations=taboo_iters,
+        epsilon=1e-4,
+    )
+    block = 64
+    ell = g.to_ell(pad_nodes_to=block)
+    n_pad = ell.n_pad
+    key = jax.random.key(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    colors = jnp.where(
+        ell.node_mask,
+        jax.random.randint(k1, (n_pad,), 0, params.n_colors, jnp.int32),
+        jnp.int32(params.n_colors),
+    )
+    taboo = jax.random.randint(k2, (n_pad,), 0, 2, jnp.int32)
+    unif = jax.random.uniform(k3, (n_pad,), dtype=jnp.float32)
+
+    hist = (
+        color_histogram(colors, params.n_colors, ell.node_mask)
+        if _needs_histogram(params)
+        else None
+    )
+    p_eff = _variant_distribution(params, hist, ell.n_nodes)
+
+    star_x, taboo_x, _ = _sweep(ell, params, block, colors, taboo, unif, p_eff)
+
+    nc = neighbor_colors(ell.neighbors, colors)
+    p_eff_arr = (
+        p_eff
+        if p_eff is not None
+        else jnp.zeros((params.n_colors,), jnp.float32)
+    )
+    star_p, qstar_p, taboo_p = pallas_sweep(
+        nc,
+        colors,
+        taboo,
+        unif,
+        p_eff_arr,
+        jnp.float32(params.epsilon),
+        params=params,
+        block=block,
+        interpret=True,
+    )
+    # phantom rows are masked outside the kernel
+    star_p = jnp.where(ell.node_mask, star_p, colors)
+
+    real = np.asarray(ell.node_mask)
+    np.testing.assert_array_equal(
+        np.asarray(star_p)[real], np.asarray(star_x)[real]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(taboo_p)[real], np.asarray(taboo_x)[real]
+    )
+    q = np.asarray(qstar_p)[real]
+    assert (q > 0).all() and (q <= 1.0 + 1e-5).all()

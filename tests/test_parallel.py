@@ -1,0 +1,95 @@
+import jax
+import numpy as np
+import pytest
+
+from mcmc_colorer_tpu.config import MCMCParams, ProposalKind
+from mcmc_colorer_tpu.models.base import check_coloring
+from mcmc_colorer_tpu.parallel.chains import EnsembleMCMCColorer
+from mcmc_colorer_tpu.parallel.mesh import factor_mesh, make_mesh
+from mcmc_colorer_tpu.parallel.sharded import AnnealConfig, ShardedMCMCColorer
+
+
+def _params(g, **kw):
+    return MCMCParams(n_colors=g.max_degree, **kw)
+
+
+def test_factor_mesh():
+    assert factor_mesh(8) == (4, 2)
+    assert factor_mesh(8, prefer_chains=8) == (8, 1)
+    assert factor_mesh(7) == (7, 1)
+    assert factor_mesh(16, prefer_chains=4) == (4, 4)
+
+
+def test_make_mesh_axes():
+    mesh = make_mesh(chains=4, shards=2)
+    assert mesh.shape == {"chains": 4, "shards": 2}
+
+
+def test_ensemble_local(small_er):
+    colorer = EnsembleMCMCColorer(small_er, _params(small_er), n_chains=4)
+    best, summaries = colorer.run(seed=13)
+    assert len(summaries) == 4
+    assert best.extra["final_conflicts"] == 0
+    assert check_coloring(small_er, best.colors)
+    # best chain is no worse than any other
+    assert best.extra["final_conflicts"] <= min(
+        s["conflicts"] for s in summaries
+    )
+
+
+def test_ensemble_on_mesh(medium_er):
+    mesh = make_mesh(chains=8, shards=1)
+    colorer = EnsembleMCMCColorer(
+        medium_er, _params(medium_er), n_chains=8, mesh=mesh
+    )
+    best, summaries = colorer.run(seed=3)
+    assert check_coloring(medium_er, best.colors)
+    assert best.extra["n_chains"] == 8
+
+
+def test_sharded_2x4(medium_er):
+    mesh = make_mesh(chains=2, shards=4)
+    colorer = ShardedMCMCColorer(
+        medium_er,
+        _params(medium_er, tailcut=True),
+        mesh,
+        n_chains=4,  # 2 chains per chain-axis element
+    )
+    best, summaries = colorer.run(seed=17)
+    assert len(summaries) == 4
+    assert check_coloring(medium_er, best.colors)
+    assert best.extra["final_conflicts"] == 0
+
+
+def test_sharded_matches_single_chip_statistics(small_er):
+    """Vertex sharding must not change chain semantics: same proposal
+    family, similar convergence behavior."""
+    mesh = make_mesh(chains=1, shards=8)
+    p = _params(small_er)
+    sharded, _ = ShardedMCMCColorer(mesh=mesh, graph=small_er, params=p).run(
+        seed=23
+    )
+    assert check_coloring(small_er, sharded.colors) or sharded.extra[
+        "final_conflicts"
+    ] > 0
+    assert sharded.extra["final_conflicts"] == 0
+    assert sharded.iterations <= p.max_iterations
+
+
+def test_sharded_annealing_runs(medium_er):
+    mesh = make_mesh(chains=4, shards=2)
+    p = MCMCParams(
+        n_colors=max(2, medium_er.max_degree // 2),
+        proposal=ProposalKind.BALANCE_DYNAMIC,
+        tailcut=True,
+    )
+    colorer = ShardedMCMCColorer(
+        medium_er,
+        p,
+        mesh,
+        n_chains=4,
+        anneal=AnnealConfig(enabled=True, window=5, boost=4.0),
+    )
+    best, _ = colorer.run(seed=29)
+    assert best.extra["final_eps_scale"] >= 1.0
+    assert check_coloring(medium_er, best.colors)
