@@ -41,18 +41,14 @@ def tpu_sweep_rate(n=100_000, p=0.01, iters=20, seed=0) -> float:
     from mcmc_colorer_tpu.models.mcmc import (
         _conflict_edges,
         _sweep,
-        _sweep_pallas,
+        _sweep_pallas_fused,
         _variant_distribution,
         choose_block_size,
     )
     from mcmc_colorer_tpu.ops.neighbor import color_histogram
 
-    sweep_fn = (
-        _sweep_pallas
-        if jax.default_backend() not in ("cpu", "gpu")
-        else _sweep
-    )
-    log(f"sweep backend: {sweep_fn.__name__}")
+    use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    log(f"sweep backend: {'pallas-fused' if use_pallas else 'xla'}")
 
     t0 = time.perf_counter()
     g = erdos_renyi(n, p, seed=seed)
@@ -75,10 +71,16 @@ def tpu_sweep_rate(n=100_000, p=0.01, iters=20, seed=0) -> float:
             unif = jax.random.uniform(ku, (n_pad,), dtype=jnp.float32)
             hist = color_histogram(colors, params.n_colors, ell.node_mask)
             p_eff = _variant_distribution(params, hist, ell.n_nodes)
-            star, taboo, _ = sweep_fn(
-                ell, params, block, colors, taboo, unif, p_eff
-            )
-            return (star, taboo, key), _conflict_edges(ell, star)
+            if use_pallas:
+                star, taboo, _, conf = _sweep_pallas_fused(
+                    ell, params, block, colors, taboo, unif, p_eff
+                )
+            else:
+                star, taboo, _ = _sweep(
+                    ell, params, block, colors, taboo, unif, p_eff
+                )
+                conf = _conflict_edges(ell, star)
+            return (star, taboo, key), conf
 
         (colors, taboo, key), confl = jax.lax.scan(
             body, (colors, taboo, key), jnp.arange(iters)

@@ -150,6 +150,83 @@ def speedups(results: dict) -> dict:
     return out
 
 
+def var_col_surface(results: dict, algo: str = "MCMC_TPU") -> dict:
+    """Balance index over the (numColRatio, density) grid — the data
+    behind doVarCol3DGraph.py's surface plot (doVarCol3DGraph.py:40-50,
+    k = n·p·colorRatio).  Returns {(ratio, prob): mean balance index}."""
+    grid: dict = defaultdict(list)
+    for r in results.get(algo, []):
+        if not r.get("histogram") or "prob" not in r:
+            continue
+        ratio = r.get("color_ratio", 1.0)
+        bi = balance_index(r["histogram"], r["nodes"], r["prob"])
+        grid[(ratio, r["prob"])].append(bi)
+    return {k: float(np.mean(v)) for k, v in grid.items()}
+
+
+def plot_speedup(results: dict, out_path: str) -> bool:
+    """doSpeedupGraph.py-style execution-time/speedup plot."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    sp = speedups(results)
+    fig, ax = plt.subplots(figsize=(8, 5))
+    plotted = False
+    for pair, series in sp.items():
+        if not series:
+            continue
+        xs = sorted(k for k in series if k is not None)
+        ax.plot(xs, [series[x] for x in xs], marker="o", label=pair)
+        plotted = True
+    ax.set_xlabel("nodes")
+    ax.set_ylabel("speedup (time ratio)")
+    ax.set_title("Algorithm speedups")
+    if plotted:
+        ax.legend()
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
+def plot_var_col_3d(
+    results: dict, out_path: str, algo: str = "MCMC_TPU"
+) -> bool:
+    """3D surface of balance index vs (numColRatio, density)
+    (doVarCol3DGraph{,_new}.py)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    grid = var_col_surface(results, algo)
+    if not grid:
+        return False
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(projection="3d")
+    ratios = [k[0] for k in grid]
+    probs = [k[1] for k in grid]
+    bis = [grid[k] for k in grid]
+    try:
+        if len(grid) >= 3:
+            ax.plot_trisurf(ratios, probs, bis, cmap="viridis")
+        else:
+            ax.scatter(ratios, probs, bis)
+    except RuntimeError:  # collinear/degenerate grid → point cloud
+        ax.scatter(ratios, probs, bis)
+    ax.set_xlabel("numColRatio")
+    ax.set_ylabel("density p")
+    ax.set_zlabel("balance index")
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
 def plot_balance_index(results: dict, out_path: str, prob: float) -> bool:
     """doBalIdxgraph.py-style plot; returns False when matplotlib is
     unavailable (zero-egress images may lack it)."""

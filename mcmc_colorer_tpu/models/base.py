@@ -63,6 +63,32 @@ class Coloring:
         var = float(((h - mean) ** 2).mean())
         return {"mean": float(mean), "variance": var, "std": float(np.sqrt(var))}
 
+    def class_degree_stats(self, g: "Graph") -> tuple[np.ndarray, np.ndarray]:
+        """(mean_degree, std_degree) per color class — the per-class degree
+        statistics Colorer::buildColoring computes (colorer.cpp:38-57)."""
+        deg = g.degrees.astype(np.float64)
+        sums = np.bincount(self.colors, weights=deg, minlength=self.n_colors)
+        sqs = np.bincount(
+            self.colors, weights=deg * deg, minlength=self.n_colors
+        )
+        cnt = np.maximum(self.histogram, 1)
+        mean = sums / cnt
+        var = np.maximum(sqs / cnt - mean**2, 0.0)
+        return mean, np.sqrt(var)
+
+    def ascii_histogram(self, width: int = 60) -> str:
+        """ASCII class-size histogram ('every * is K nodes') — the
+        PRINTHISTOGRAM output (coloringMCMC_prints.cu:178-190,
+        coloringMCMC_CPUutils.cpp:6-45)."""
+        h = self.histogram
+        divider = max(1, int(h.max()) // max(width, 1))
+        lines = [
+            f"Color {i} " + "*" * (int(h[i]) // divider)
+            for i in range(self.n_colors)
+        ]
+        lines.append(f"Every * is {divider} nodes")
+        return "\n".join(lines)
+
     def balance_index(self, prob: float) -> float:
         """BalancingIndex = sqrt(Σ_{used c}(count_c − n/nCol)² / (n·p))
         (reference coloringMCMC_prints.cu:162-167 — note the reference sums

@@ -351,6 +351,25 @@ def _sweep_pallas(
     """Proposal sweep via the fused Pallas kernel (bit-packed occupancy in
     VMEM — see ops/pallas_resample.py).  Bit-identical in distribution to
     `_sweep`; the neighbor-color gather stays in XLA."""
+    star, new_taboo, logq, _conf = _sweep_pallas_fused(
+        ell, params, block, colors, taboo, unif, p_eff, eps
+    )
+    return star, new_taboo, logq
+
+
+def _sweep_pallas_fused(
+    ell: EllGraph,
+    params: MCMCParams,
+    block: int,
+    colors: jnp.ndarray,
+    taboo: jnp.ndarray,
+    unif: jnp.ndarray,
+    p_eff: jnp.ndarray | None,
+    eps: jnp.ndarray | None = None,
+):
+    """Like `_sweep_pallas` but also returns the conflict-edge count of
+    the CURRENT coloring, computed inside the kernel from the same
+    neighbor-color matrix — the whole iteration costs ONE gather."""
     from mcmc_colorer_tpu.ops.pallas_resample import pallas_sweep
 
     nc = neighbor_colors(ell.neighbors, colors)
@@ -359,21 +378,22 @@ def _sweep_pallas(
         if p_eff is not None
         else jnp.zeros((params.n_colors,), jnp.float32)
     )
-    star, qstar, new_taboo = pallas_sweep(
+    star, qstar, new_taboo, conf = pallas_sweep(
         nc,
+        ell.neighbors,
         colors,
         taboo,
         unif,
         p_eff_arr,
         jnp.float32(params.epsilon) if eps is None else eps,
         params=params,
-        block=min(block, 256),
+        block=min(block, 128),
     )
     star = jnp.where(ell.node_mask, star, colors)
     qstar = jnp.where(ell.node_mask, qstar, 1.0)
     new_taboo = jnp.where(ell.node_mask, new_taboo, 0)
     logq = jnp.sum(jnp.log(jnp.maximum(qstar, 1e-30)))
-    return star, new_taboo, logq
+    return star, new_taboo, logq, conf
 
 
 def _sweep(
@@ -604,6 +624,11 @@ def _run_chain(
     """Full chain: init → while-loop of sweeps → optional tailcut.
     Mirrors ColoringMCMC::run (coloringMCMC_main.cu:100-290) with zero host
     round-trips."""
+    if backend == "pallas" and not params.hastings:
+        # fused path: conflict counting lives inside the sweep kernel, so
+        # each iteration costs exactly one neighbor-color gather — the
+        # measured bottleneck (XLA dynamic gathers run at ~133M elem/s)
+        return _run_chain_fused(ell, key, params=params, block=block)
     n_pad = ell.n_pad
     z = jnp.int32(params.tailcut_threshold(ell.n_nodes))
     key, k_init = jax.random.split(key)
@@ -666,6 +691,73 @@ def _run_chain(
         (colors0, taboo0, key, jnp.int32(0), conflicts0, trace0),
     )
 
+    if params.tailcut:
+        key, k_tc = jax.random.split(key)
+        colors, conflicts, tc_rounds = _tailcut(
+            ell, params, block, colors, conflicts, k_tc
+        )
+    else:
+        tc_rounds = jnp.int32(0)
+    return colors, rip, conflicts, trace, tc_rounds
+
+
+def _run_chain_fused(ell: EllGraph, key, *, params: MCMCParams, block: int):
+    """Pallas-backend chain with the conflict count fused into the sweep
+    kernel.  Loop structure matches the reference do-while exactly
+    (coloringMCMC_main.cu:160-269): conflicts of the CURRENT coloring are
+    measured at the top of each iteration (here: inside the same kernel
+    launch as the proposal); when they are ≤ z the proposal of that
+    iteration is discarded and the loop ends."""
+    n_pad = ell.n_pad
+    z = jnp.int32(params.tailcut_threshold(ell.n_nodes))
+    key, k_init = jax.random.split(key)
+    colors0 = _init_colors(ell, params, k_init)
+    taboo0 = jnp.zeros((n_pad,), jnp.int32)
+    trace0 = jnp.full((params.max_iterations + 1,), -1, jnp.int32)
+
+    def cond(carry):
+        _, _, _, rip, _, _, done = carry
+        return (~done) & (rip < jnp.int32(params.max_iterations))
+
+    def body(carry):
+        colors, taboo, key, rip, conf_last, trace, done = carry
+        key, k_u = jax.random.split(key)
+        unif = jax.random.uniform(k_u, (n_pad,), dtype=jnp.float32)
+        if _needs_histogram(params):
+            hist = color_histogram(colors, params.n_colors, ell.node_mask)
+        else:
+            hist = None
+        p_eff = _variant_distribution(params, hist, ell.n_nodes)
+        star, new_taboo, _logq, conf_cur = _sweep_pallas_fused(
+            ell, params, block, colors, taboo, unif, p_eff
+        )
+        done_now = conf_cur <= z
+        trace = trace.at[rip].set(conf_cur)
+        colors = jnp.where(done_now, colors, star)
+        taboo = jnp.where(done_now, taboo, new_taboo)
+        rip = rip + jnp.where(done_now, 0, 1)
+        return colors, taboo, key, rip, conf_cur, trace, done_now
+
+    colors, taboo, key, rip, conf_last, trace, done = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            colors0,
+            taboo0,
+            key,
+            jnp.int32(0),
+            jnp.int32(2**30),
+            trace0,
+            jnp.bool_(False),
+        ),
+    )
+    # when the loop ended at the iteration cap, conf_last describes the
+    # pre-swap coloring; measure the final one
+    conflicts = jax.lax.cond(
+        done,
+        lambda: conf_last,
+        lambda: _conflict_edges(ell, colors),
+    )
     if params.tailcut:
         key, k_tc = jax.random.split(key)
         colors, conflicts, tc_rounds = _tailcut(

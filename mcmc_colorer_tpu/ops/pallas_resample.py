@@ -72,6 +72,7 @@ def _or_reduce_cols(x: jnp.ndarray) -> jnp.ndarray:
 
 def _kernel(
     nc_ref,      # [B, d_pad] int32 neighbor colors (-1 padding)
+    neigh_ref,   # [B, d_pad] int32 neighbor ids (sentinel n_pad padding)
     cur_ref,     # [B, 1] int32 current colors
     taboo_ref,   # [B, 1] int32
     unif_ref,    # [B, 1] f32 pre-drawn uniforms
@@ -80,6 +81,11 @@ def _kernel(
     star_ref,    # [B, 1] int32 out
     qstar_ref,   # [B, 1] f32 out
     taboo_out_ref,  # [B, 1] int32 out
+    conf_ref,    # [B, 1] int32 out — per-vertex conflict-edge counts of
+                 # the CURRENT coloring (dedup: neighbor id > own id),
+                 # fused here so the chain loop needs ONE neighbor-color
+                 # gather per iteration (the reference does calcConflicts
+                 # as a separate kernel + reduction, _utils.cu:184-198)
     *,
     params: MCMCParams,
     n_col_pad: int,
@@ -125,6 +131,13 @@ def _kernel(
     taboo = taboo_ref[:, 0]
     eps = eps_ref[0, 0]
 
+    # ---- fused conflict count of the current coloring -------------------
+    gids = pl.program_id(0) * b + jax.lax.broadcasted_iota(
+        jnp.int32, (b, 1), 0
+    )
+    same = (nc == cur[:, None]) & (neigh_ref[:] > gids)
+    conf_ref[:, 0] = jnp.sum(same.astype(jnp.int32), axis=1)
+
     # ---- shared proposal formula + inverse-CDF sample -------------------
     q = _proposal_q(
         cur,
@@ -164,6 +177,7 @@ def _kernel(
 )
 def pallas_sweep(
     nc: jnp.ndarray,       # [n_pad, d_pad] int32 neighbor colors (-1 pad)
+    neighbors: jnp.ndarray,  # [n_pad, d_pad] int32 neighbor ids
     cur: jnp.ndarray,      # [n_pad] int32
     taboo: jnp.ndarray,    # [n_pad] int32
     unif: jnp.ndarray,     # [n_pad] f32
@@ -174,8 +188,12 @@ def pallas_sweep(
     block: int = 256,
     interpret: bool = False,
 ):
-    """One full proposal sweep.  Returns (star, qstar, new_taboo), each
-    [n_pad].  ``n_pad`` must be a multiple of ``block``."""
+    """One full proposal sweep with fused conflict counting.  Returns
+    (star, qstar, new_taboo, conflicts) — conflicts is the scalar
+    conflict-edge count of the CURRENT coloring.  ``n_pad`` must be a
+    multiple of ``block``."""
+    if jax.default_backend() == "cpu":
+        interpret = True  # Mosaic targets TPU; CPU runs the interpreter
     n_pad, d_pad = nc.shape
     assert n_pad % block == 0, (n_pad, block)
     n_col_pad = _round_up(params.n_colors, 128)
@@ -187,7 +205,10 @@ def pallas_sweep(
     kernel = functools.partial(
         _kernel, params=params, n_col_pad=n_col_pad
     )
-    star, qstar, new_taboo = pl.pallas_call(
+    vec_spec = pl.BlockSpec(
+        (block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    star, qstar, new_taboo, conf = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -195,14 +216,11 @@ def pallas_sweep(
                 (block, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (block, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
+            vec_spec,
+            vec_spec,
+            vec_spec,
             pl.BlockSpec(
                 (1, n_col_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -211,28 +229,25 @@ def pallas_sweep(
             ),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
+            vec_spec,
+            vec_spec,
+            vec_spec,
+            vec_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
         interpret=interpret,
     )(
         nc,
+        neighbors,
         cur[:, None],
         taboo[:, None],
         unif[:, None],
         p_eff_pad,
         eps[None, None],
     )
-    return star[:, 0], qstar[:, 0], new_taboo[:, 0]
+    return star[:, 0], qstar[:, 0], new_taboo[:, 0], jnp.sum(conf)

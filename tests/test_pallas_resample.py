@@ -62,8 +62,9 @@ def test_pallas_matches_xla_sweep(medium_er, kind, taboo_iters):
         if p_eff is not None
         else jnp.zeros((params.n_colors,), jnp.float32)
     )
-    star_p, qstar_p, taboo_p = pallas_sweep(
+    star_p, qstar_p, taboo_p, conf_p = pallas_sweep(
         nc,
+        ell.neighbors,
         colors,
         taboo,
         unif,
@@ -85,3 +86,25 @@ def test_pallas_matches_xla_sweep(medium_er, kind, taboo_iters):
     )
     q = np.asarray(qstar_p)[real]
     assert (q > 0).all() and (q <= 1.0 + 1e-5).all()
+    # fused conflict count matches the standalone reduction
+    from mcmc_colorer_tpu.models.mcmc import _conflict_edges
+
+    assert int(conf_p) == int(_conflict_edges(ell, colors))
+
+
+def test_fused_chain_matches_xla_chain(medium_er):
+    """The fused pallas chain (interpret mode on CPU) must converge like
+    the XLA chain and produce a valid coloring."""
+    from mcmc_colorer_tpu.models.base import check_coloring
+    from mcmc_colorer_tpu.models.mcmc import MCMCColorer
+
+    params = MCMCParams(
+        n_colors=medium_er.max_degree,
+        proposal=ProposalKind.BALANCE_DYNAMIC,
+        taboo_iterations=2,
+    )
+    r_pal = MCMCColorer(medium_er, params, backend="pallas").run(seed=31)
+    r_xla = MCMCColorer(medium_er, params, backend="xla").run(seed=31)
+    assert r_pal.extra["final_conflicts"] == 0
+    assert r_xla.extra["final_conflicts"] == 0
+    assert check_coloring(medium_er, r_pal.colors)
