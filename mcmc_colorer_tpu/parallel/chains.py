@@ -44,6 +44,7 @@ class EnsembleMCMCColorer:
         n_chains: int,
         mesh: Mesh | None = None,
         block_size: int | None = None,
+        backend: str = "auto",
     ) -> None:
         self.graph = graph
         self.params = params
@@ -53,9 +54,17 @@ class EnsembleMCMCColorer:
             graph.n, params.n_colors * max(1, n_chains // 8)
         )
         self.ell = graph.to_ell(pad_nodes_to=self.block)
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if jax.default_backend() not in ("cpu", "gpu")
+                else "xla"
+            )
 
         run = jax.vmap(
-            partial(_run_chain, params=params, block=self.block),
+            partial(
+                _run_chain, params=params, block=self.block, backend=backend
+            ),
             in_axes=(None, 0),
         )
         if mesh is not None:
