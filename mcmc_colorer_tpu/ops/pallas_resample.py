@@ -73,6 +73,9 @@ def _or_reduce_cols(x: jnp.ndarray) -> jnp.ndarray:
 def _kernel(
     nc_ref,      # [B, d_pad] int32 neighbor colors (-1 padding)
     neigh_ref,   # [B, d_pad] int32 neighbor ids (sentinel n_pad padding)
+    gid_ref,     # [B, 1] int32 global vertex id of each row (rows need not
+                 # be contiguous: the active-set path passes a gathered
+                 # subset of vertices)
     cur_ref,     # [B, 1] int32 current colors
     taboo_ref,   # [B, 1] int32
     unif_ref,    # [B, 1] f32 pre-drawn uniforms
@@ -132,10 +135,7 @@ def _kernel(
     eps = eps_ref[0, 0]
 
     # ---- fused conflict count of the current coloring -------------------
-    gids = pl.program_id(0) * b + jax.lax.broadcasted_iota(
-        jnp.int32, (b, 1), 0
-    )
-    same = (nc == cur[:, None]) & (neigh_ref[:] > gids)
+    same = (nc == cur[:, None]) & (neigh_ref[:] > gid_ref[:])
     conf_ref[:, 0] = jnp.sum(same.astype(jnp.int32), axis=1)
 
     # ---- shared proposal formula + inverse-CDF sample -------------------
@@ -187,6 +187,8 @@ def pallas_sweep(
     params: MCMCParams,
     block: int = 256,
     interpret: bool = False,
+    self_ids: jnp.ndarray | None = None,  # [n_pad] global vertex ids; defaults
+                                          # to arange (full-sweep layout)
 ):
     """One full proposal sweep with fused conflict counting.  Returns
     (star, qstar, new_taboo, conflicts) — conflicts is the scalar
@@ -221,6 +223,7 @@ def pallas_sweep(
             vec_spec,
             vec_spec,
             vec_spec,
+            vec_spec,
             pl.BlockSpec(
                 (1, n_col_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -244,6 +247,11 @@ def pallas_sweep(
     )(
         nc,
         neighbors,
+        (
+            self_ids
+            if self_ids is not None
+            else jnp.arange(n_pad, dtype=jnp.int32)
+        )[:, None],
         cur[:, None],
         taboo[:, None],
         unif[:, None],
