@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument(
         "--anneal", action="store_true", help="pooled epsilon annealing"
     )
+    tpu.add_argument(
+        "--active",
+        action="store_true",
+        help="active-set chain: resample only the conflict frontier "
+        "(fastest time-to-solution; see models/mcmc_active.py)",
+    )
     p.add_argument("--check", action="store_true", help="validate colorings")
     p.add_argument("--quiet", action="store_true")
     return p
@@ -195,6 +201,10 @@ def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
             return _BestOfWrapper(
                 EnsembleMCMCColorer(g, params, n_chains=args.chains)
             )
+        if args.active:
+            from mcmc_colorer_tpu.models.mcmc_active import ActiveMCMCColorer
+
+            return ActiveMCMCColorer(g, params, backend=args.backend)
         from mcmc_colorer_tpu.models.mcmc import MCMCColorer
 
         return MCMCColorer(g, params, backend=args.backend)

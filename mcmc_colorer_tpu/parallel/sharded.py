@@ -70,11 +70,19 @@ class ShardedMCMCColorer:
         n_chains: int | None = None,
         anneal: AnnealConfig | None = None,
         block_size: int | None = None,
+        backend: str = "auto",
     ) -> None:
         if params.hastings:
             raise NotImplementedError(
                 "Metropolis-Hastings acceptance is single-chip only for now"
             )
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if jax.default_backend() not in ("cpu", "gpu")
+                else "xla"
+            )
+        self.backend = backend
         self.graph = graph
         self.params = params
         self.mesh = mesh
@@ -85,11 +93,18 @@ class ShardedMCMCColorer:
             raise ValueError("n_chains must be a multiple of the chains axis")
         cl = self.n_chains // mc
         self.anneal = anneal or AnnealConfig()
-        self.block = block_size or choose_block_size(
-            graph.n, params.n_colors * cl
+        # size the per-shard slice so every shard owns real vertices
+        # (naively padding to shards*block can leave whole shards with
+        # nothing but phantom padding on small graphs)
+        per_shard = -(-graph.n // ms)
+        per_shard = ((per_shard + 127) // 128) * 128
+        self.block = min(
+            block_size
+            or choose_block_size(graph.n, params.n_colors * cl),
+            per_shard,
         )
-        # pad nodes so that n_pad is divisible by shards*block
-        self.ell = graph.to_ell(pad_nodes_to=ms * self.block)
+        n_loc = ((per_shard + self.block - 1) // self.block) * self.block
+        self.ell = graph.to_ell(pad_nodes_to=ms * n_loc)
         self._n_pad = self.ell.n_pad
         self._jit_run = jax.jit(
             partial(
@@ -100,6 +115,7 @@ class ShardedMCMCColorer:
                 chains_per_dev=cl,
                 anneal=self.anneal,
                 n_nodes=graph.n,
+                backend=backend,
             ),
             static_argnames=(),
         )
@@ -193,6 +209,7 @@ def _run_sharded(
     chains_per_dev: int,
     anneal: AnnealConfig,
     n_nodes: int,
+    backend: str = "xla",
 ):
     n_pad, d_pad = neighbors.shape
     ms = mesh.shape["shards"]
@@ -290,6 +307,33 @@ def _run_sharded(
                 )
                 cur_loc = jnp.take(cf, jnp.clip(self_gids, 0, n_pad - 1))
 
+                if backend == "pallas":
+                    from mcmc_colorer_tpu.ops.pallas_resample import (
+                        pallas_sweep,
+                    )
+
+                    nc_loc = jnp.take(cf_ext, neigh_loc, axis=0)
+                    p_eff_arr = (
+                        p_eff
+                        if p_eff is not None
+                        else jnp.zeros((n_colors,), jnp.float32)
+                    )
+                    star, _q, new_tb, _c = pallas_sweep(
+                        nc_loc,
+                        neigh_loc,
+                        cur_loc,
+                        tb,
+                        u_loc,
+                        p_eff_arr,
+                        eps_eff,
+                        params=params,
+                        block=min(block, 128),
+                        self_ids=self_gids,
+                    )
+                    star = jnp.where(real_loc, star, cur_loc)
+                    new_tb = jnp.where(real_loc, new_tb, 0)
+                    return star, new_tb, key
+
                 n_blocks = n_loc // block
 
                 def block_fn(xs):
@@ -322,9 +366,17 @@ def _run_sharded(
                 star_b, tb_b = jax.lax.map(block_fn, xs)
                 return star_b.reshape(n_loc), tb_b.reshape(n_loc), key
 
-            star_loc, new_taboo, new_keys = jax.vmap(chain_sweep)(
-                colors_full, taboo, ks
-            )
+            # python loop over the per-device chains (cl is small & static;
+            # avoids vmap-of-pallas_call)
+            stars, taboos, keys_out = [], [], []
+            for c in range(cl):
+                s, t, k = chain_sweep(colors_full[c], taboo[c], ks[c])
+                stars.append(s)
+                taboos.append(t)
+                keys_out.append(k)
+            star_loc = jnp.stack(stars)
+            new_taboo = jnp.stack(taboos)
+            new_keys = jnp.stack(keys_out)
             # halo exchange: owned slices -> full coloring on every shard
             star_full = jax.lax.all_gather(
                 star_loc, "shards", axis=1, tiled=True

@@ -76,6 +76,21 @@ def test_sharded_matches_single_chip_statistics(small_er):
     assert sharded.iterations <= p.max_iterations
 
 
+def test_sharded_actually_shards(medium_er):
+    """Every shard must own real vertices (regression: padding to
+    shards×block once left all real vertices in shard 0, silently making
+    vertex sharding a no-op on small graphs)."""
+    for shards in (2, 4):
+        mesh = make_mesh(
+            chains=1, shards=shards, devices=jax.devices()[:shards]
+        )
+        c = ShardedMCMCColorer(medium_er, _params(medium_er), mesh)
+        n_loc = c.ell.n_pad // shards
+        assert n_loc < medium_er.n, (
+            f"shard size {n_loc} >= n — only shard 0 holds real vertices"
+        )
+
+
 def test_sharded_annealing_runs(medium_er):
     mesh = make_mesh(chains=4, shards=2)
     p = MCMCParams(
