@@ -120,3 +120,51 @@ def test_converters(tmp_path):
     out3 = tmp_path / "sa_p.txt"
     assert gio.strip_self_arcs(str(sa), str(out3)) == 1
     assert "b b" not in out3.read_text()
+
+
+def test_barabasi_albert():
+    from mcmc_colorer_tpu.graph.generate import barabasi_albert
+
+    g = barabasi_albert(500, 3, seed=2)
+    g.validate()
+    # heavy tail: max degree well above the attachment parameter
+    assert g.max_degree > 3 * 4
+    assert g.degrees.min() >= 3
+    # determinism
+    g2 = barabasi_albert(500, 3, seed=2)
+    import numpy as np
+
+    assert np.array_equal(g.cols, g2.cols)
+
+
+def test_real_world_like_pipeline(tmp_path):
+    """BASELINE config 4 shape: skewed-degree graph through the converter
+    pipeline into the full MCMC colorer."""
+    import numpy as np
+
+    from mcmc_colorer_tpu.config import MCMCParams
+    from mcmc_colorer_tpu.graph.generate import barabasi_albert
+    from mcmc_colorer_tpu.models.base import check_coloring
+    from mcmc_colorer_tpu.models.mcmc import MCMCColorer
+
+    g0 = barabasi_albert(400, 4, seed=9)
+    # write a reddit-style CSV, convert, strip self arcs, load
+    csv = tmp_path / "edges.csv"
+    u = np.repeat(np.arange(g0.n), g0.degrees)
+    v = g0.cols
+    mask = u < v
+    with open(csv, "w") as f:
+        for a, b in zip(u[mask], v[mask]):
+            f.write(f"n{a},n{b},x\n")
+    conv = tmp_path / "conv.txt"
+    gio.convert_reddit_csv(str(csv), str(conv))
+    withhdr = tmp_path / "native.txt"
+    withhdr.write_text(f"{g0.n} {int(mask.sum())}\n" + conv.read_text())
+    purged = tmp_path / "purged.txt"
+    gio.strip_self_arcs(str(withhdr), str(purged))
+    g = gio.load_edge_list_py(str(purged))
+    assert g.n == g0.n and g.n_edges == g0.n_edges
+    r = MCMCColorer(g, MCMCParams(n_colors=g.max_degree, tailcut=True)).run(
+        seed=5
+    )
+    assert check_coloring(g, r.colors)
