@@ -148,8 +148,8 @@ class SteppedMCMC:
         if self.params.tailcut and int(conflicts) > 0:
             key, k_tc = jax.random.split(state.key)
             colors, conflicts, tcr = jax.jit(
-                partial(_tailcut, self.ell, self.params, self.block)
-            )(colors, conflicts, k_tc)
+                partial(_tailcut, params=self.params, block=self.block)
+            )(self.ell, colors, conflicts, k_tc)
             tc_rounds = int(tcr)
         rip = int(state.iteration)
         return Coloring(

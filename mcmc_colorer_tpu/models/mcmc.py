@@ -510,11 +510,12 @@ def _reverse_logq(
 
 def _tailcut(
     ell: EllGraph,
-    params: MCMCParams,
-    block: int,
     colors: jnp.ndarray,
     conflicts: jnp.ndarray,
     key,
+    *,
+    params: MCMCParams,
+    block: int,
 ):
     """Greedy conflict-fixing epilogue (intended semantics of
     coloringMCMC_utils.cu:73-101 / the buggy CPU loop, SURVEY §9.1).
@@ -694,7 +695,7 @@ def _run_chain(
     if params.tailcut:
         key, k_tc = jax.random.split(key)
         colors, conflicts, tc_rounds = _tailcut(
-            ell, params, block, colors, conflicts, k_tc
+            ell, colors, conflicts, k_tc, params=params, block=block
         )
     else:
         tc_rounds = jnp.int32(0)
@@ -761,7 +762,7 @@ def _run_chain_fused(ell: EllGraph, key, *, params: MCMCParams, block: int):
     if params.tailcut:
         key, k_tc = jax.random.split(key)
         colors, conflicts, tc_rounds = _tailcut(
-            ell, params, block, colors, conflicts, k_tc
+            ell, colors, conflicts, k_tc, params=params, block=block
         )
     else:
         tc_rounds = jnp.int32(0)

@@ -157,8 +157,8 @@ class ActiveMCMCColorer:
         if params.tailcut and conflicts > 0:
             key, k_tc = jax.random.split(key)
             colors, conf, tcr = jax.jit(
-                partial(_tailcut, ell, params, self.block)
-            )(colors, jnp.int32(conflicts), k_tc)
+                partial(_tailcut, params=params, block=self.block)
+            )(ell, colors, jnp.int32(conflicts), k_tc)
             conflicts = int(conf)
             tc_rounds = int(tcr)
 

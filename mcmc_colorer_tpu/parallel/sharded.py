@@ -163,8 +163,8 @@ class ShardedMCMCColorer:
             cols = jnp.asarray(pad)
             conf = _conflict_edges(ell, cols)
             cols, conf, tcr = jax.jit(
-                partial(_tailcut, ell, self.params, self.block)
-            )(cols, conf, rngu.for_iteration(root, 999_999))
+                partial(_tailcut, params=self.params, block=self.block)
+            )(ell, cols, conf, rngu.for_iteration(root, 999_999))
             best_colors = np.asarray(cols)[: self.graph.n]
             conflicts[best] = int(conf)
             tc_rounds = int(tcr)
