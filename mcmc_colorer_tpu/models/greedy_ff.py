@@ -29,13 +29,30 @@ from mcmc_colorer_tpu.ops.neighbor import neighbor_colors, occupancy_matrix
 
 
 class GreedyFFColorer:
-    def __init__(self, graph: Graph, block_size: int | None = None) -> None:
+    def __init__(
+        self,
+        graph: Graph,
+        block_size: int | None = None,
+        backend: str = "auto",
+    ) -> None:
         self.graph = graph
         self.max_colors = graph.max_degree + 1
         self.block = block_size or choose_block_size(graph.n, self.max_colors)
-        self.ell = graph.to_ell(pad_nodes_to=self.block)
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if jax.default_backend() not in ("cpu", "gpu")
+                else "xla"
+            )
+        self.backend = backend
+        self.ell = graph.to_ell(pad_nodes_to=max(self.block, 128))
         self._jit_run = jax.jit(
-            partial(_run_gff, max_colors=self.max_colors, block=self.block)
+            partial(
+                _run_gff,
+                max_colors=self.max_colors,
+                block=self.block,
+                backend=backend,
+            )
         )
 
     def run(self, seed: int = 0, repetition: int = 0) -> Coloring:
@@ -56,11 +73,27 @@ class GreedyFFColorer:
 
 
 def _first_fit_pass(
-    ell: EllGraph, colors: jnp.ndarray, max_colors: int, block: int
+    ell: EllGraph,
+    colors: jnp.ndarray,
+    max_colors: int,
+    block: int,
+    backend: str = "xla",
 ) -> jnp.ndarray:
     """tentative_coloring: smallest color not used by any neighbor
     (coloringGreedyFF.cu:88-128), for currently uncolored vertices."""
     n_pad = ell.n_pad
+    if backend == "pallas":
+        from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_first_fit
+
+        nc = neighbor_colors(ell.neighbors, colors)
+        first_free = pallas_first_fit(
+            nc,
+            jnp.ones((max_colors,), jnp.int32),
+            n_colors=max_colors,
+            block=min(block, 256),
+        )
+        # max_colors = maxDeg+1 guarantees a free color for real vertices
+        return jnp.where(colors < 0, first_free, colors)
     n_blocks = n_pad // block
 
     def block_fn(xs):
@@ -88,7 +121,9 @@ def _conflict_losers(ell: EllGraph, colors: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _run_gff(ell: EllGraph, *, max_colors: int, block: int):
+def _run_gff(
+    ell: EllGraph, *, max_colors: int, block: int, backend: str = "xla"
+):
     real = ell.node_mask
     colors0 = jnp.where(real, jnp.int32(-1), jnp.int32(0))
 
@@ -98,7 +133,7 @@ def _run_gff(ell: EllGraph, *, max_colors: int, block: int):
 
     def body(carry):
         colors, rounds = carry
-        tentative = _first_fit_pass(ell, colors, max_colors, block)
+        tentative = _first_fit_pass(ell, colors, max_colors, block, backend)
         losers = _conflict_losers(ell, tentative)
         colors = jnp.where(losers, jnp.int32(-1), tentative)
         return colors, rounds + 1

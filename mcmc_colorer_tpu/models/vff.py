@@ -41,13 +41,30 @@ _UNBALANCED_HISTORY = 10  # coloringVFF.cu:17
 
 
 class VFFColorer:
-    def __init__(self, graph: Graph, block_size: int | None = None) -> None:
+    def __init__(
+        self,
+        graph: Graph,
+        block_size: int | None = None,
+        backend: str = "auto",
+    ) -> None:
         self.graph = graph
         self.max_colors = graph.max_degree + 1
         self.block = block_size or choose_block_size(graph.n, self.max_colors)
-        self.ell = graph.to_ell(pad_nodes_to=self.block)
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if jax.default_backend() not in ("cpu", "gpu")
+                else "xla"
+            )
+        self.backend = backend
+        self.ell = graph.to_ell(pad_nodes_to=max(self.block, 128))
         self._jit_run = jax.jit(
-            partial(_run_vff, max_colors=self.max_colors, block=self.block)
+            partial(
+                _run_vff,
+                max_colors=self.max_colors,
+                block=self.block,
+                backend=backend,
+            )
         )
 
     def run(self, seed: int = 0, repetition: int = 0) -> Coloring:
@@ -65,14 +82,18 @@ class VFFColorer:
         )
 
 
-def _run_vff(ell: EllGraph, *, max_colors: int, block: int):
+def _run_vff(
+    ell: EllGraph, *, max_colors: int, block: int, backend: str = "xla"
+):
     n_pad = ell.n_pad
     n_blocks = n_pad // block
     real = ell.node_mask
     node_ids = jnp.arange(n_pad, dtype=jnp.int32)
 
     # ---- phase 1: Greedy FF (coloringVFF.cu:90-125 reuses the GFF loop)
-    gff_colors, _ = _run_gff(ell, max_colors=max_colors, block=block)
+    gff_colors, _ = _run_gff(
+        ell, max_colors=max_colors, block=block, backend=backend
+    )
 
     # numColors = distinct used colors; since FF colors are dense from 0,
     # that is max(color)+1 over real vertices
@@ -98,30 +119,44 @@ def _run_vff(ell: EllGraph, *, max_colors: int, block: int):
 
     def body(carry):
         colors, bins, unb, history, rounds, looping = carry
-
-        def block_fn(xs):
-            neigh_blk, cur_blk, unb_blk = xs
-            nc = neighbor_colors(neigh_blk, colors)
-            occ = occupancy_matrix(nc, max_colors)
-            # own current color also forbidden (coloringVFF.cu:371-372)
-            occ = occ.at[
-                jnp.arange(cur_blk.shape[0]), jnp.clip(cur_blk, 0, max_colors - 1)
-            ].set(True)
-            # permissible AND undersized target within the used palette
-            # (the reference scans i = 1..numColors only, coloringVFF.cu:381)
-            in_palette = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, max_colors), 1)
-                < n_used
-            )
-            eligible = (~occ) & (bins < gamma)[None, :] & in_palette
-            k = jnp.argmax(eligible, axis=1).astype(jnp.int32)
-            found = jnp.any(eligible, axis=1)
-            return jnp.where(unb_blk & found, k, cur_blk)
-
-        cand_b = _map_blocks(
-            block_fn, n_blocks, block, ell.neighbors, colors, unb
+        # permissible targets: undersized bins within the used palette
+        # (the reference scans i = 1..numColors only, coloringVFF.cu:381)
+        allow = (bins < gamma) & (
+            jnp.arange(max_colors, dtype=jnp.int32) < n_used
         )
-        new_colors = cand_b.reshape(n_pad)
+
+        if backend == "pallas":
+            from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_first_fit
+
+            nc_all = neighbor_colors(ell.neighbors, colors)
+            cand = pallas_first_fit(
+                nc_all,
+                allow,
+                n_colors=max_colors,
+                block=min(block, 256),
+                cur=colors,  # own color forbidden (coloringVFF.cu:371-372)
+            )
+            new_colors = jnp.where(unb & (cand >= 0), cand, colors)
+        else:
+
+            def block_fn(xs):
+                neigh_blk, cur_blk, unb_blk = xs
+                nc = neighbor_colors(neigh_blk, colors)
+                occ = occupancy_matrix(nc, max_colors)
+                # own current color also forbidden
+                occ = occ.at[
+                    jnp.arange(cur_blk.shape[0]),
+                    jnp.clip(cur_blk, 0, max_colors - 1),
+                ].set(True)
+                eligible = (~occ) & allow[None, :]
+                k = jnp.argmax(eligible, axis=1).astype(jnp.int32)
+                found = jnp.any(eligible, axis=1)
+                return jnp.where(unb_blk & found, k, cur_blk)
+
+            cand_b = _map_blocks(
+                block_fn, n_blocks, block, ell.neighbors, colors, unb
+            )
+            new_colors = cand_b.reshape(n_pad)
         # solve_conflicts: an unbalanced node stays flagged iff it now
         # conflicts with a lower-id neighbor (coloringVFF.cu:411-437)
         colors_ext = jnp.concatenate(

@@ -1,0 +1,128 @@
+"""Masked first-fit Pallas kernel (GreedyFF / VFF hot op).
+
+The reference's tentative_coloring / tentative_rebalancing kernels scan a
+per-vertex forbidden-color array for the lowest admissible color
+(coloringGreedyFF.cu:88-128, coloringVFF.cu:352-388).  The XLA
+formulation needs an n×maxColors scatter (serialised on TPU); this kernel
+reuses the bit-packed VMEM occupancy of the resample kernel and reduces
+``argmax(free & allowed)`` on the VPU.
+
+Returns, per vertex: the smallest color that is not used by any neighbor
+AND allowed by the caller's mask, or -1 when none exists.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(
+    nc_ref,      # [B, d_pad] int32 neighbor colors (-1 padding)
+    cur_ref,     # [B, 1] int32 own color to exclude (-1 = no exclusion;
+                 # VFF forbids the current color, coloringVFF.cu:371-372)
+    allow_ref,   # [1, nColPad] int32 (1 = admissible target color)
+    out_ref,     # [B, 1] int32: smallest free∧allowed color, or -1
+    *,
+    n_colors: int,
+    n_col_pad: int,
+):
+    from mcmc_colorer_tpu.ops.pallas_resample import _or_reduce_cols
+
+    n_words = n_col_pad // 32
+    nc = nc_ref[:]
+    b = nc.shape[0]
+
+    # striped bit-packed occupancy (see pallas_resample._kernel)
+    hi = jax.lax.rem(nc, jnp.int32(n_words))
+    bit = jax.lax.shift_left(
+        jnp.ones_like(nc), jax.lax.div(nc, jnp.int32(n_words))
+    )
+    words = []
+    zero = jnp.zeros_like(nc)
+    for w in range(n_words):
+        vals = jnp.where(hi == w, bit, zero)
+        words.append(_or_reduce_cols(vals))
+    occ_words = jnp.concatenate(words, axis=1)
+
+    expanded = pltpu.repeat(occ_words, 32, axis=1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, n_col_pad), 1)
+    shifts = jax.lax.div(col_ids, jnp.int32(n_words))
+    occ = (
+        jnp.bitwise_and(
+            jax.lax.shift_right_logical(expanded, shifts), 1
+        )
+        == 1
+    )
+    eligible = (
+        (~occ)
+        & (col_ids < n_colors)
+        & (allow_ref[:] != 0)
+        & (col_ids != cur_ref[:])
+    )
+    # smallest eligible color: min over (col if eligible else BIG)
+    big = jnp.int32(n_col_pad)
+    cand = jnp.min(jnp.where(eligible, col_ids, big), axis=1)
+    out_ref[:, 0] = jnp.where(cand >= n_colors, jnp.int32(-1), cand)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_colors", "block", "interpret")
+)
+def pallas_first_fit(
+    nc: jnp.ndarray,        # [n_pad, d_pad] int32 neighbor colors
+    allow: jnp.ndarray,     # [n_colors] bool/int — admissible target colors
+    *,
+    n_colors: int,
+    block: int = 256,
+    interpret: bool = False,
+    cur: jnp.ndarray | None = None,  # [n_pad] own colors to exclude
+):
+    """[n_pad] int32: per vertex the smallest admissible free color
+    (-1 if none)."""
+    if jax.default_backend() == "cpu":
+        interpret = True
+    n_pad, d_pad = nc.shape
+    assert n_pad % block == 0
+    n_col_pad = _round_up(n_colors, 128)
+    allow_pad = jnp.zeros((1, n_col_pad), jnp.int32)
+    allow_pad = allow_pad.at[0, :n_colors].set(allow.astype(jnp.int32))
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, n_colors=n_colors, n_col_pad=n_col_pad
+        ),
+        grid=(n_pad // block,),
+        in_specs=[
+            pl.BlockSpec(
+                (block, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_col_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        interpret=interpret,
+    )(
+        nc,
+        (
+            cur
+            if cur is not None
+            else jnp.full((n_pad,), -1, jnp.int32)
+        )[:, None],
+        allow_pad,
+    )
+    return out[:, 0]
