@@ -1,0 +1,171 @@
+"""Run the five BASELINE.md benchmark configs and emit a JSON report.
+
+1. ER n=1000 p=0.1 — sequential MCMC (reference-semantics run)
+2. Luby colorer on ER n=100k p=0.01
+3. MCMC balanced coloring, large ER, numColRatio sweep + balance index
+   (n scales down automatically if HBM is insufficient)
+4. real-world-like graph (Barabási–Albert) via the converter pipeline
+5. 64-chain ensemble with best-of-chains selection
+
+Usage: python scripts/run_baseline_configs.py [--out report.json] [--small]
+(--small shrinks everything for a fast smoke run.)
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+from mcmc_colorer_tpu.config import MCMCParams, ProposalKind
+from mcmc_colorer_tpu.graph import io as gio
+from mcmc_colorer_tpu.graph.generate import barabasi_albert, erdos_renyi
+from mcmc_colorer_tpu.models.base import check_coloring
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return out, time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="baseline_report.json")
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+    small = args.small
+    report = {"backend": jax.default_backend()}
+
+    # ---- config 1: sequential MCMC on ER(1000, 0.1) ---------------------
+    from mcmc_colorer_tpu.models.mcmc_sequential import SequentialMCMCColorer
+
+    g1 = erdos_renyi(1000 if not small else 200, 0.1, seed=1)
+    p1 = MCMCParams(n_colors=g1.max_degree, proposal=ProposalKind.STANDARD)
+    r1, t1 = timed(lambda: SequentialMCMCColorer(g1, p1).run(seed=11))
+    report["config1_sequential"] = {
+        "n": g1.n,
+        "valid": check_coloring(g1, r1.colors),
+        "iterations": r1.iterations,
+        "used_colors": r1.used_colors,
+        "balance_index": r1.balance_index(0.1),
+        "seconds": t1,
+    }
+    print("config1:", report["config1_sequential"], flush=True)
+
+    # ---- config 2: Luby on ER(100k, 0.01) -------------------------------
+    from mcmc_colorer_tpu.models.luby import LubyColorer
+
+    n2 = 100_000 if not small else 2000
+    g2 = erdos_renyi(n2, 0.01 if not small else 0.02, seed=2)
+    colorer2 = LubyColorer(g2)
+    _ = colorer2.run(seed=0)  # compile
+    r2, t2 = timed(lambda: colorer2.run(seed=21))
+    report["config2_luby"] = {
+        "n": g2.n,
+        "m": g2.n_edges,
+        "valid": check_coloring(g2, r2.colors),
+        "colors": r2.n_colors,
+        "seconds": t2,
+    }
+    print("config2:", report["config2_luby"], flush=True)
+
+    # ---- config 3: MCMC numColRatio sweep on large ER -------------------
+    from mcmc_colorer_tpu.models.mcmc import MCMCColorer
+
+    n3 = (1_000_000 if not small else 5000)
+    p_edge3 = 0.001 if not small else 0.01
+    sweep = {}
+    while True:
+        try:
+            g3 = erdos_renyi(n3, p_edge3, seed=3)
+            print(
+                f"config3 graph: n={g3.n} m={g3.n_edges} "
+                f"maxdeg={g3.max_degree}",
+                flush=True,
+            )
+            for ratio in (1.0, 2.0, 4.0):
+                n_col = max(4, int(g3.max_degree / ratio))
+                p3 = MCMCParams(
+                    n_colors=n_col,
+                    proposal=ProposalKind.BALANCE_DYNAMIC,
+                    tailcut=True,
+                )
+                r3, t3 = timed(lambda: MCMCColorer(g3, p3).run(seed=31))
+                sweep[str(ratio)] = {
+                    "n_colors": n_col,
+                    "valid": check_coloring(g3, r3.colors),
+                    "iterations": r3.iterations,
+                    "used_colors": r3.used_colors,
+                    "balance_index": r3.balance_index(p_edge3),
+                    "seconds": t3,
+                }
+                print(f"config3 ratio={ratio}:", sweep[str(ratio)], flush=True)
+            break
+        except Exception as e:  # HBM OOM → halve
+            print(f"config3 failed at n={n3}: {type(e).__name__}; halving",
+                  flush=True)
+            if n3 <= 50_000:
+                raise
+            n3 //= 2
+            p_edge3 *= 2
+    report["config3_ratio_sweep"] = {"n": n3, "p": p_edge3, "sweep": sweep}
+
+    # ---- config 4: real-world-like pipeline -----------------------------
+    n4 = 50_000 if not small else 1000
+    g0 = barabasi_albert(n4, 8, seed=4)
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/graph.txt"
+        gio.write_edge_list(g0, path, use_names=True)
+        # route through the native/py importer like a converted dataset
+        g4 = gio.load_edge_list(path)
+    p4 = MCMCParams(
+        n_colors=g4.max_degree,
+        proposal=ProposalKind.BALANCE_DYNAMIC,
+        tailcut=True,
+    )
+    r4, t4 = timed(lambda: MCMCColorer(g4, p4).run(seed=41))
+    report["config4_real_world_like"] = {
+        "n": g4.n,
+        "m": g4.n_edges,
+        "max_deg": g4.max_degree,
+        "valid": check_coloring(g4, r4.colors),
+        "used_colors": r4.used_colors,
+        "seconds": t4,
+    }
+    print("config4:", report["config4_real_world_like"], flush=True)
+
+    # ---- config 5: 64-chain ensemble + best-of-chains -------------------
+    from mcmc_colorer_tpu.parallel.chains import EnsembleMCMCColorer
+
+    n5 = 20_000 if not small else 500
+    g5 = erdos_renyi(n5, 0.002 if not small else 0.05, seed=5)
+    p5 = MCMCParams(
+        n_colors=g5.max_degree, proposal=ProposalKind.BALANCE_DYNAMIC
+    )
+    ens = EnsembleMCMCColorer(g5, p5, n_chains=64 if not small else 8)
+    best, summaries = ens.run(seed=51)
+    report["config5_ensemble"] = {
+        "n": g5.n,
+        "chains": len(summaries),
+        "best_chain": best.extra["best_chain"],
+        "best_conflicts": best.extra["final_conflicts"],
+        "valid": check_coloring(g5, best.colors),
+        "conflict_spread": [s["conflicts"] for s in summaries[:10]],
+        "seconds": best.duration_ms / 1e3,
+    }
+    print("config5:", report["config5_ensemble"], flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1, default=str)
+    print("report →", args.out)
+
+
+if __name__ == "__main__":
+    main()
