@@ -14,7 +14,6 @@ maxDeg+1 (coloringGreedyFF.cu:19), which always leaves a free color.
 
 from __future__ import annotations
 
-import math
 import time
 from functools import partial
 

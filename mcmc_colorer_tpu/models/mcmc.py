@@ -520,71 +520,64 @@ def _tailcut(
     """Greedy conflict-fixing epilogue (intended semantics of
     coloringMCMC_utils.cu:73-101 / the buggy CPU loop, SURVEY §9.1).
 
+    Works in **rank space**: colors are relabeled once by ascending class
+    size (the reference's orderedIndex sort, coloringMCMC_main.cu:275-279),
+    so "first free color in ascending-histogram order" becomes a plain
+    smallest-index first-fit — servable by the scatter-free bitmask kernel.
     Each round recolors an *independent set* of movable conflicting
-    vertices (no lower-id movable flagged neighbor) — a deterministic
-    parallel rendition of the reference's serial device loop.  A vertex
-    moves to its first free color in ascending-class-size order; when no
-    color is free (the reference keeps the old color, _utils.cu:93-99,
-    looping forever) it moves to the color minimising its own conflicts,
-    so total conflicts strictly decrease.  If that reaches a local minimum
-    with conflicts left, the conflicting vertices are randomly recolored
-    and the greedy resumes — the reference's own (dead-code) stall escape,
-    unlock_stall (coloringMCMC_CPUutils.cpp:49-67)."""
+    vertices (no lower-id movable flagged neighbor).  Vertices with no
+    free color keep theirs (the reference loops forever here,
+    _utils.cu:93-99); if a round makes no progress the conflicting
+    vertices are randomly recolored — the reference's own dead-code stall
+    escape, unlock_stall (coloringMCMC_CPUutils.cpp:49-67)."""
     n_pad = ell.n_pad
-    n_blocks = n_pad // block
     n_colors = params.n_colors
     node_ids = jnp.arange(n_pad, dtype=jnp.int32)
     hist = color_histogram(colors, n_colors, ell.node_mask)
     ordered = jnp.argsort(hist).astype(jnp.int32)  # ascending class size
+    rank = jnp.zeros((n_colors,), jnp.int32).at[ordered].set(
+        jnp.arange(n_colors, dtype=jnp.int32)
+    )
+    # relabel into rank space ([n]-sized gathers over a tiny table)
+    rank_ext = jnp.concatenate([rank, jnp.full((1,), n_colors, jnp.int32)])
+    colors_r = jnp.take(rank_ext, jnp.clip(colors, 0, n_colors), axis=0)
+    colors_r = jnp.where(ell.node_mask, colors_r, jnp.int32(n_colors))
 
+    use_pallas = jax.default_backend() not in ("cpu", "gpu")
     max_rounds = jnp.int32(ell.n_nodes + 1000)
 
-    def cond(carry):
-        _, conf, rounds = carry
-        return (conf > 0) & (rounds < max_rounds)
+    def first_free(nc_r):
+        if use_pallas:
+            from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_first_fit
 
-    def body(carry):
-        cols, conf, rounds = carry
-        colors_ext = jnp.concatenate([cols, jnp.full((1,), -1, jnp.int32)])
-        nc_all = jnp.take(colors_ext, ell.neighbors, axis=0)
-        flags = jnp.any(
-            (nc_all == cols[:, None]) & (ell.neighbors > node_ids[:, None]),
-            axis=1,
-        )
+            return pallas_first_fit(
+                nc_r,
+                jnp.ones((n_colors,), jnp.int32),
+                n_colors=n_colors,
+                block=min(block, 256),
+            )
+        n_blocks = n_pad // block
 
         def block_fn(xs):
-            neigh_blk, cur_blk = xs
-            b = cur_blk.shape[0]
-            nc = neighbor_colors(neigh_blk, cols)
-            rows = jnp.broadcast_to(
-                jnp.arange(b, dtype=jnp.int32)[:, None], nc.shape
-            )
-            counts = (
-                jnp.zeros((b, n_colors), jnp.int32)
-                .at[rows, nc]
-                .add(1, mode="drop")
-            )
-            # rank colors by (conflict count, ascending-class-size position):
-            # first free color in `ordered` when one exists, else the color
-            # with fewest same-colored neighbors
-            ranked = jnp.take(counts, ordered, axis=1) * jnp.int32(
-                n_colors
-            ) + jnp.arange(n_colors, dtype=jnp.int32)[None, :]
-            k = jnp.argmin(ranked, axis=1)
-            cand = jnp.take(ordered, k)
-            cand_count = jnp.take_along_axis(
-                counts, cand[:, None], axis=1
-            )[:, 0]
-            cur_count = jnp.take_along_axis(
-                counts, jnp.clip(cur_blk, 0, n_colors - 1)[:, None], axis=1
-            )[:, 0]
-            return cand, cand_count < cur_count
+            (nc_blk,) = xs
+            occ = occupancy_matrix(nc_blk, n_colors)
+            found = jnp.any(~occ, axis=1)
+            k = jnp.argmax(~occ, axis=1).astype(jnp.int32)
+            return jnp.where(found, k, -1)
 
-        cand_b, better_b = _map_blocks(
-            block_fn, n_blocks, block, ell.neighbors, cols
+        out = _map_blocks(block_fn, n_blocks, block, nc_r)
+        return out.reshape(n_pad)
+
+    def body(carry):
+        cols_r, conf, rounds, _ = carry
+        nc_r = neighbor_colors(ell.neighbors, cols_r)
+        same = (nc_r == cols_r[:, None]) & (
+            ell.neighbors > node_ids[:, None]
         )
-        cand = cand_b.reshape(n_pad)
-        movable = flags & better_b.reshape(n_pad)
+        conf = jnp.sum(same, dtype=jnp.int32)
+        flags = jnp.any(nc_r == cols_r[:, None], axis=1) & ell.node_mask
+        cand_r = first_free(nc_r)
+        movable = flags & (cand_r >= 0)
         movable_ext = jnp.concatenate(
             [movable, jnp.zeros((1,), jnp.bool_)]
         )
@@ -594,8 +587,7 @@ def _tailcut(
             axis=1,
         )
         active = movable & ~lower_movable
-        stalled = ~jnp.any(active)
-        # stall escape: randomly recolor the conflicting vertices
+        stalled = (conf > 0) & ~jnp.any(active)
         rnd = jax.random.randint(
             jax.random.fold_in(key, rounds),
             (n_pad,),
@@ -603,16 +595,29 @@ def _tailcut(
             n_colors,
             dtype=jnp.int32,
         )
-        new_cols = jnp.where(
-            active, cand, jnp.where(stalled & flags, rnd, cols)
+        new_r = jnp.where(
+            active, cand_r, jnp.where(stalled & flags, rnd, cols_r)
         )
-        return new_cols, _conflict_edges(ell, new_cols), rounds + 1
+        return new_r, conf, rounds + 1, conf == 0
 
-    colors, conflicts, rounds = jax.lax.while_loop(
-        cond, body, (colors, conflicts, jnp.int32(0))
+    def cond(carry):
+        _, conf, rounds, done = carry
+        return (~done) & (rounds < max_rounds)
+
+    colors_r, conflicts, rounds, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (colors_r, conflicts, jnp.int32(0), jnp.bool_(False)),
     )
-    return colors, conflicts, rounds
-
+    # map back from rank space
+    ordered_ext = jnp.concatenate(
+        [ordered, jnp.full((1,), n_colors, jnp.int32)]
+    )
+    colors_out = jnp.take(
+        ordered_ext, jnp.clip(colors_r, 0, n_colors), axis=0
+    )
+    colors_out = jnp.where(ell.node_mask, colors_out, jnp.int32(n_colors))
+    return colors_out, conflicts, rounds
 
 def _run_chain(
     ell: EllGraph,

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mcmc_colorer_tpu.config import MCMCParams, ProposalKind
+from mcmc_colorer_tpu.config import MCMCParams
 from mcmc_colorer_tpu.graph.container import Graph
 from mcmc_colorer_tpu.models.base import Coloring
 from mcmc_colorer_tpu.models.mcmc import (
