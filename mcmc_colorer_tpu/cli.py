@@ -300,6 +300,17 @@ def main(argv=None) -> int:
                     f"{result.duration_ms:.0f} ms, "
                     f"converged={result.converged}{extra} → {log_path}"
                 )
+            # TRACE-gated per-iteration + histogram output (the reference's
+            # LOG(TRACE) / PRINTHISTOGRAM prints, coloringMCMC_prints.cu)
+            from mcmc_colorer_tpu.utils import term
+
+            if term.trace_enabled():
+                if result.conflict_trace is not None:
+                    term.trace(
+                        f"{tag} rep {rep} conflict trace: "
+                        f"{list(map(int, result.conflict_trace))}"
+                    )
+                term.trace(result.ascii_histogram())
     return rc
 
 

@@ -98,6 +98,7 @@ class ActiveMCMCColorer:
             )
         )
         self._jit_active = {}
+        self._jit_tailcut = {}
         self._min_bucket = min_bucket
         self._bucket_factor = bucket_factor
 
@@ -113,6 +114,41 @@ class ActiveMCMCColorer:
             )
         return self._jit_active[cap]
 
+    def _tailcut_fn(self, cap: int):
+        if cap not in self._jit_tailcut:
+            self._jit_tailcut[cap] = jax.jit(
+                partial(_tailcut_round, params=self.params),
+                static_argnames=("cap",),
+            )
+        return self._jit_tailcut[cap]
+
+    def _tailcut_active(self, colors, cnt, key):
+        """Frontier-sized tailcut: each round touches only the conflicting
+        vertices (intended semantics of the reference epilogue,
+        coloringMCMC_utils.cu:73-101, at incremental cost)."""
+        ell, params = self.ell, self.params
+        caps = _buckets(
+            ell.n_pad, self._min_bucket, self._bucket_factor
+        )
+        hist = color_histogram(colors, params.n_colors, ell.node_mask)
+        ordered = jnp.argsort(hist).astype(jnp.int32)
+        rounds = 0
+        max_rounds = self.graph.n + 1000
+        while rounds < max_rounds:
+            n_flag, conflicts = map(
+                int,
+                jax.device_get(_stats(cnt, jnp.zeros_like(cnt))),
+            )
+            if conflicts == 0:
+                break
+            rounds += 1
+            key, k_r = jax.random.split(key)
+            cap = next(c for c in caps if c >= max(n_flag, 1))
+            colors, cnt = self._tailcut_fn(cap)(
+                ell, colors, cnt, ordered, k_r, cap=cap
+            )
+        return colors, cnt, conflicts, rounds
+
     def run(self, seed: int, repetition: int = 0) -> Coloring:
         g, params, ell = self.graph, self.params, self.ell
         t0 = time.perf_counter()
@@ -122,45 +158,57 @@ class ActiveMCMCColorer:
 
         colors = _init_colors(ell, params, k_init)
         taboo = jnp.zeros((ell.n_pad,), jnp.int32)
-        cnt = self._jit_cnt(ell, colors)
+        cnt = None  # maintained only in active mode (computing it costs a
+        # full gather; full-mode iterations get conflicts from the fused
+        # kernel instead)
         z = params.tailcut_threshold(g.n)
         caps = _buckets(ell.n_pad, self._min_bucket, self._bucket_factor)
+        switch_at = ell.n_pad // 8  # conflict-edge threshold for active mode
         trace = []
         rip = 0
+        conflicts = None
         while rip < params.max_iterations:
-            n_active, conflicts = map(
-                int, jax.device_get(_stats(cnt, taboo))
-            )
-            trace.append(conflicts)
-            if conflicts <= z:
-                break
-            rip += 1
             key, k_it = jax.random.split(key)
-            if n_active > ell.n_pad // 4:
-                colors, taboo, cnt = self._jit_full(
+            if cnt is None:
+                # full mode: fused sweep measures conflicts of the CURRENT
+                # coloring in-kernel; the proposal is discarded when
+                # already converged (reference do-while semantics)
+                star, new_taboo, conf_cur = self._jit_full(
                     ell, colors, taboo, k_it
                 )
+                conflicts = int(conf_cur)
+                trace.append(conflicts)
+                if conflicts <= z:
+                    break
+                colors, taboo = star, new_taboo
+                rip += 1
+                if 2 * conflicts < switch_at:
+                    cnt = self._jit_cnt(ell, colors)  # one-time transition
             else:
-                cap = next(
-                    c for c in caps if c >= max(n_active, 1)
+                n_active, conflicts = map(
+                    int, jax.device_get(_stats(cnt, taboo))
                 )
+                trace.append(conflicts)
+                if conflicts <= z:
+                    break
+                rip += 1
+                cap = next(c for c in caps if c >= max(n_active, 1))
                 colors, taboo, cnt = self._active_fn(cap)(
                     ell, colors, taboo, cnt, k_it, cap=cap
                 )
         else:
-            n_active, conflicts = map(
-                int, jax.device_get(_stats(cnt, taboo))
-            )
+            if cnt is None:
+                cnt = self._jit_cnt(ell, colors)
+            _, conflicts = map(int, jax.device_get(_stats(cnt, taboo)))
             trace.append(conflicts)
 
         tc_rounds = 0
         if params.tailcut and conflicts > 0:
-            key, k_tc = jax.random.split(key)
-            colors, conf, tcr = jax.jit(
-                partial(_tailcut, params=params, block=self.block)
-            )(ell, colors, jnp.int32(conflicts), k_tc)
-            conflicts = int(conf)
-            tc_rounds = int(tcr)
+            if cnt is None:
+                cnt = self._jit_cnt(ell, colors)
+            colors, cnt, conflicts, tc_rounds = self._tailcut_active(
+                colors, cnt, key
+            )
 
         dur = (time.perf_counter() - t0) * 1e3
         return Coloring(
@@ -205,7 +253,8 @@ def _full_iteration(
     block: int,
     backend: str,
 ):
-    """One synchronous full sweep + cnt recompute (2 gathers)."""
+    """One synchronous full sweep; returns (star, taboo', conflicts of the
+    CURRENT coloring) — one gather on the pallas path (fused kernel)."""
     key, k_u = jax.random.split(key)
     unif = jax.random.uniform(k_u, (ell.n_pad,), dtype=jnp.float32)
     hist = (
@@ -215,15 +264,17 @@ def _full_iteration(
     )
     p_eff = _variant_distribution(params, hist, ell.n_nodes)
     if backend == "pallas":
-        star, new_taboo, _, _ = _sweep_pallas_fused(
+        star, new_taboo, _, conf = _sweep_pallas_fused(
             ell, params, block, colors, taboo, unif, p_eff
         )
     else:
         star, new_taboo, _ = _sweep(
             ell, params, block, colors, taboo, unif, p_eff
         )
-    cnt = _cnt_of(ell, star, params=params)
-    return star, new_taboo, cnt
+        from mcmc_colorer_tpu.models.mcmc import _conflict_edges
+
+        conf = _conflict_edges(ell, colors)
+    return star, new_taboo, conf
 
 
 def _active_iteration(
@@ -357,3 +408,77 @@ def _active_iteration(
         lambda: cnt_next,
     )
     return colors_next, taboo_next, cnt_next
+
+
+def _tailcut_round(
+    ell: EllGraph,
+    colors,
+    cnt,
+    ordered,    # [nCol] colors by ascending class size (fixed at entry)
+    key,
+    *,
+    cap: int,
+    params: MCMCParams,
+):
+    """One frontier-sized greedy round: conflicting vertices (cnt>0) with
+    no lower-id conflicting neighbor move to their first free color in
+    ``ordered`` order; when a round can move nobody, the frontier is
+    randomly recolored (unlock_stall).  cnt maintained incrementally."""
+    n_pad, d_pad = ell.neighbors.shape
+    n_colors = params.n_colors
+
+    flagged = (cnt > 0) & ell.node_mask
+    (ids,) = jnp.nonzero(flagged, size=cap, fill_value=n_pad)
+    valid = ids < n_pad
+    ids_c = jnp.minimum(ids, n_pad - 1)
+    rows = jnp.take(ell.neighbors, ids_c, axis=0)
+    rows = jnp.where(valid[:, None], rows, jnp.int32(n_pad))
+    cur = jnp.where(valid, jnp.take(colors, ids_c), jnp.int32(n_colors))
+    nc = neighbor_colors(rows, colors)
+
+    # occupancy of the frontier rows only ([cap, nCol] — frontier-sized)
+    from mcmc_colorer_tpu.ops.neighbor import occupancy_matrix
+
+    occ = occupancy_matrix(nc, n_colors)
+    free_perm = ~jnp.take(occ, ordered, axis=1)
+    found = jnp.any(free_perm, axis=1)
+    cand = jnp.take(ordered, jnp.argmax(free_perm, axis=1))
+
+    # movable & no lower-id movable conflicting neighbor
+    movable_full = (
+        jnp.zeros((n_pad,), jnp.bool_)
+        .at[ids_c]
+        .set(valid & found, mode="drop")
+    )
+    movable_ext = jnp.concatenate(
+        [movable_full, jnp.zeros((1,), jnp.bool_)]
+    )
+    lower_movable = jnp.any(
+        jnp.take(movable_ext, rows, axis=0) & (rows < ids[:, None]),
+        axis=1,
+    )
+    active = valid & found & ~lower_movable
+    stalled = ~jnp.any(active)
+    rnd = jax.random.randint(key, (cap,), 0, n_colors, dtype=jnp.int32)
+    new_col = jnp.where(
+        active, cand, jnp.where(stalled & valid, rnd, cur)
+    )
+
+    colors_next = colors.at[ids].set(new_col, mode="drop")
+    # incremental cnt update (same bookkeeping as _active_iteration)
+    nc_new = neighbor_colors(rows, colors_next)
+    new_a = jnp.where(valid, jnp.take(colors_next, ids_c), cur)
+    delta = (nc_new == new_a[:, None]).astype(jnp.int32) - (
+        nc_new == cur[:, None]
+    ).astype(jnp.int32)
+    cnt_next = cnt.at[rows.reshape(-1)].add(
+        delta.reshape(-1), mode="drop"
+    )
+    cnt_self = jnp.sum(
+        (nc_new == new_a[:, None]).astype(jnp.int32), axis=1
+    )
+    cnt_next = cnt_next.at[ids_c].set(
+        jnp.where(valid, cnt_self, jnp.take(cnt_next, ids_c)),
+        mode="drop",
+    )
+    return colors_next, cnt_next
