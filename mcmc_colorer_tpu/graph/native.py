@@ -75,6 +75,12 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_uint64,
             ctypes.c_int,
         ]
+        lib.mc_generate_er.restype = ctypes.c_void_p
+        lib.mc_generate_er.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.c_uint64,
+        ]
         _lib = lib
         return _lib
 
@@ -110,6 +116,31 @@ def load_edge_list(
         cols=cols,
         node_names=names,
         name=name or os.path.basename(path).rsplit(".", 1)[0],
+    )
+
+
+def generate_er(n: int, p: float, seed: int = 0, name: str | None = None) -> Graph:
+    """In-memory native ER(n, p) → CSR (no names); single C++ pass."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    h = lib.mc_generate_er(n, p, seed)
+    try:
+        nn = lib.mc_n(h)
+        nnz = lib.mc_nnz(h)
+        row_ptr = np.ctypeslib.as_array(
+            lib.mc_row_ptr(h), shape=(nn + 1,)
+        ).copy()
+        cols = np.ctypeslib.as_array(lib.mc_cols(h), shape=(max(nnz, 1),))[
+            :nnz
+        ].copy()
+    finally:
+        lib.mc_free(h)
+    return Graph(
+        n=int(nn),
+        row_ptr=row_ptr,
+        cols=cols,
+        name=name or f"er_{n}_{p}",
     )
 
 

@@ -78,7 +78,12 @@ class SteppedMCMC:
                 else "xla"
             )
         self.backend = backend
-        self.ell = graph.to_ell(pad_nodes_to=self.block)
+        from mcmc_colorer_tpu.graph.container import degree_pad_for
+
+        self.ell = graph.to_ell(
+            pad_nodes_to=self.block,
+            pad_degree_to=degree_pad_for(graph, backend),
+        )
         self._step_k = jax.jit(
             partial(
                 _step_segment,

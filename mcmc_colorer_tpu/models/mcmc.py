@@ -64,7 +64,8 @@ def choose_block_size(n: int, n_colors: int) -> int:
     b = max(128, min(1 << 16, b))
     b = 1 << int(math.floor(math.log2(b)))  # power of two for clean tiling
     if n <= b:
-        return max(8, 1 << int(math.ceil(math.log2(max(n, 8)))))
+        # ≥128 so the Pallas kernels' [n/128, 128] vector tiling works
+        return max(128, 1 << int(math.ceil(math.log2(max(n, 8)))))
     return b
 
 
@@ -220,7 +221,12 @@ class MCMCColorer:
                 else "xla"
             )
         self.backend = backend
-        self.ell = graph.to_ell(pad_nodes_to=self.block)
+        from mcmc_colorer_tpu.graph.container import degree_pad_for
+
+        self.ell = graph.to_ell(
+            pad_nodes_to=self.block,
+            pad_degree_to=degree_pad_for(graph, backend),
+        )
         self._jit_run = jax.jit(
             partial(
                 _run_chain, params=params, block=self.block, backend=backend

@@ -87,7 +87,12 @@ class ActiveMCMCColorer:
                 else "xla"
             )
         self.backend = backend
-        self.ell = graph.to_ell(pad_nodes_to=max(self.block, 128))
+        from mcmc_colorer_tpu.graph.container import degree_pad_for
+
+        self.ell = graph.to_ell(
+            pad_nodes_to=max(self.block, 128),
+            pad_degree_to=degree_pad_for(graph, backend),
+        )
         self._jit_cnt = jax.jit(partial(_cnt_of, params=params))
         self._jit_full = jax.jit(
             partial(

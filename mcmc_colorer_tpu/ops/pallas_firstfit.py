@@ -27,10 +27,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(
     nc_ref,      # [B, d_pad] int32 neighbor colors (-1 padding)
-    cur_ref,     # [B, 1] int32 own color to exclude (-1 = no exclusion;
+    cur_ref,     # [B//128, 128] int32 own color to exclude (-1 = none;
                  # VFF forbids the current color, coloringVFF.cu:371-372)
     allow_ref,   # [1, nColPad] int32 (1 = admissible target color)
-    out_ref,     # [B, 1] int32: smallest free∧allowed color, or -1
+    out_ref,     # [B//128, 128] int32: smallest free∧allowed color, or -1
     *,
     n_colors: int,
     n_col_pad: int,
@@ -62,16 +62,18 @@ def _kernel(
         )
         == 1
     )
+    cur = cur_ref[:].reshape(b)
     eligible = (
         (~occ)
         & (col_ids < n_colors)
         & (allow_ref[:] != 0)
-        & (col_ids != cur_ref[:])
+        & (col_ids != cur[:, None])
     )
     # smallest eligible color: min over (col if eligible else BIG)
     big = jnp.int32(n_col_pad)
     cand = jnp.min(jnp.where(eligible, col_ids, big), axis=1)
-    out_ref[:, 0] = jnp.where(cand >= n_colors, jnp.int32(-1), cand)
+    out = jnp.where(cand >= n_colors, jnp.int32(-1), cand)
+    out_ref[:] = out.reshape(out_ref.shape)
 
 
 @functools.partial(
@@ -91,8 +93,9 @@ def pallas_first_fit(
     if jax.default_backend() == "cpu":
         interpret = True
     n_pad, d_pad = nc.shape
-    assert n_pad % block == 0
+    assert n_pad % block == 0 and block % 128 == 0
     n_col_pad = _round_up(n_colors, 128)
+    vb = block // 128
     allow_pad = jnp.zeros((1, n_col_pad), jnp.int32)
     allow_pad = allow_pad.at[0, :n_colors].set(allow.astype(jnp.int32))
     out = pl.pallas_call(
@@ -105,16 +108,16 @@ def pallas_first_fit(
                 (block, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (vb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, n_col_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (vb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
         interpret=interpret,
     )(
         nc,
@@ -122,7 +125,7 @@ def pallas_first_fit(
             cur
             if cur is not None
             else jnp.full((n_pad,), -1, jnp.int32)
-        )[:, None],
+        ).reshape(n_pad // 128, 128),
         allow_pad,
     )
-    return out[:, 0]
+    return out.reshape(n_pad)

@@ -73,18 +73,19 @@ def _or_reduce_cols(x: jnp.ndarray) -> jnp.ndarray:
 def _kernel(
     nc_ref,      # [B, d_pad] int32 neighbor colors (-1 padding)
     neigh_ref,   # [B, d_pad] int32 neighbor ids (sentinel n_pad padding)
-    gid_ref,     # [B, 1] int32 global vertex id of each row (rows need not
-                 # be contiguous: the active-set path passes a gathered
-                 # subset of vertices)
-    cur_ref,     # [B, 1] int32 current colors
-    taboo_ref,   # [B, 1] int32
-    unif_ref,    # [B, 1] f32 pre-drawn uniforms
+    gid_ref,     # [B//128, 128] int32 global vertex id of each row (rows
+                 # need not be contiguous: the active-set path passes a
+                 # gathered subset; vectors travel as [n/128, 128] tiles
+                 # because [n, 1] operands pad 128x under T(8,128) layout)
+    cur_ref,     # [B//128, 128] int32 current colors
+    taboo_ref,   # [B//128, 128] int32
+    unif_ref,    # [B//128, 128] f32 pre-drawn uniforms
     p_eff_ref,   # [1, nColPad] f32 variant distribution (zero-padded)
     eps_ref,     # [1, 1] f32 effective epsilon (SMEM)
-    star_ref,    # [B, 1] int32 out
-    qstar_ref,   # [B, 1] f32 out
-    taboo_out_ref,  # [B, 1] int32 out
-    conf_ref,    # [B, 1] int32 out — per-vertex conflict-edge counts of
+    star_ref,    # [B//128, 128] int32 out
+    qstar_ref,   # [B//128, 128] f32 out
+    taboo_out_ref,  # [B//128, 128] int32 out
+    conf_ref,    # [B//128, 128] int32 out — per-vertex conflict counts of
                  # the CURRENT coloring (dedup: neighbor id > own id),
                  # fused here so the chain loop needs ONE neighbor-color
                  # gather per iteration (the reference does calcConflicts
@@ -129,14 +130,16 @@ def _kernel(
         == 1
     )
 
-    cur = cur_ref[:, 0]
-    unif = unif_ref[:, 0]
-    taboo = taboo_ref[:, 0]
+    cur = cur_ref[:].reshape(b)
+    unif = unif_ref[:].reshape(b)
+    taboo = taboo_ref[:].reshape(b)
+    gids = gid_ref[:].reshape(b)
     eps = eps_ref[0, 0]
 
     # ---- fused conflict count of the current coloring -------------------
-    same = (nc == cur[:, None]) & (neigh_ref[:] > gid_ref[:])
-    conf_ref[:, 0] = jnp.sum(same.astype(jnp.int32), axis=1)
+    same = (nc == cur[:, None]) & (neigh_ref[:] > gids[:, None])
+    conf = jnp.sum(same.astype(jnp.int32), axis=1)
+    conf_ref[:] = conf.reshape(conf_ref.shape)
 
     # ---- shared proposal formula + inverse-CDF sample -------------------
     q = _proposal_q(
@@ -166,9 +169,9 @@ def _kernel(
         jnp.where(chosen == cur, jnp.int32(params.taboo_iterations), 0),
     )
 
-    star_ref[:, 0] = chosen
-    qstar_ref[:, 0] = qstar
-    taboo_out_ref[:, 0] = new_taboo
+    star_ref[:] = chosen.reshape(star_ref.shape)
+    qstar_ref[:] = qstar.reshape(qstar_ref.shape)
+    taboo_out_ref[:] = new_taboo.reshape(taboo_out_ref.shape)
 
 
 @functools.partial(
@@ -207,9 +210,14 @@ def pallas_sweep(
     kernel = functools.partial(
         _kernel, params=params, n_col_pad=n_col_pad
     )
+    assert block % 128 == 0, block
+    vb = block // 128
     vec_spec = pl.BlockSpec(
-        (block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (vb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+
+    def v(x):
+        return x.reshape(n_pad // 128, 128)
     star, qstar, new_taboo, conf = pl.pallas_call(
         kernel,
         grid=grid,
@@ -238,24 +246,29 @@ def pallas_sweep(
             vec_spec,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
         ],
         interpret=interpret,
     )(
         nc,
         neighbors,
-        (
+        v(
             self_ids
             if self_ids is not None
             else jnp.arange(n_pad, dtype=jnp.int32)
-        )[:, None],
-        cur[:, None],
-        taboo[:, None],
-        unif[:, None],
+        ),
+        v(cur),
+        v(taboo),
+        v(unif),
         p_eff_pad,
         eps[None, None],
     )
-    return star[:, 0], qstar[:, 0], new_taboo[:, 0], jnp.sum(conf)
+    return (
+        star.reshape(n_pad),
+        qstar.reshape(n_pad),
+        new_taboo.reshape(n_pad),
+        jnp.sum(conf),
+    )

@@ -53,13 +53,18 @@ class EnsembleMCMCColorer:
         self.block = block_size or choose_block_size(
             graph.n, params.n_colors * max(1, n_chains // 8)
         )
-        self.ell = graph.to_ell(pad_nodes_to=self.block)
         if backend == "auto":
             backend = (
                 "pallas"
                 if jax.default_backend() not in ("cpu", "gpu")
                 else "xla"
             )
+        from mcmc_colorer_tpu.graph.container import degree_pad_for
+
+        self.ell = graph.to_ell(
+            pad_nodes_to=self.block,
+            pad_degree_to=degree_pad_for(graph, backend),
+        )
 
         run = jax.vmap(
             partial(

@@ -104,7 +104,12 @@ class ShardedMCMCColorer:
             per_shard,
         )
         n_loc = ((per_shard + self.block - 1) // self.block) * self.block
-        self.ell = graph.to_ell(pad_nodes_to=ms * n_loc)
+        from mcmc_colorer_tpu.graph.container import degree_pad_for
+
+        self.ell = graph.to_ell(
+            pad_nodes_to=ms * n_loc,
+            pad_degree_to=degree_pad_for(graph, backend),
+        )
         self._n_pad = self.ell.n_pad
         self._jit_run = jax.jit(
             partial(

@@ -150,6 +150,64 @@ const char* mc_error(void* vh) { return static_cast<GraphHandle*>(vh)->err.c_str
 
 void mc_free(void* vh) { delete static_cast<GraphHandle*>(vh); }
 
+// In-memory ER(n, p) → CSR sampler: geometric skips over the linearised
+// upper triangle (O(E) work), both edge directions inserted via a
+// counting-sort CSR build.  ~50x faster than the numpy path at 5e8 edges.
+// Returns a GraphHandle (no node names).
+void* mc_generate_er(int64_t n, double p, uint64_t seed) {
+  auto* h = new GraphHandle();
+  h->n = n;
+  std::mt19937_64 eng(seed);
+  std::uniform_real_distribution<double> unif(0.0, 1.0);
+  std::vector<int32_t> src, dst;
+  if (p > 0.0 && n > 1) {
+    const double log1mp = std::log1p(-p);
+    const long double total =
+        static_cast<long double>(n) * static_cast<long double>(n - 1) / 2.0L;
+    src.reserve(static_cast<size_t>(total * p * 1.05) + 1024);
+    dst.reserve(src.capacity());
+    const long double nn = static_cast<long double>(n);
+    long double pos = -1.0L;
+    while (true) {
+      double u = unif(eng);
+      if (u <= 0.0) u = 1e-300;
+      pos += std::floor(std::log(u) / log1mp) + 1.0;
+      if (pos >= total) break;
+      long double idx = pos;
+      int64_t i = static_cast<int64_t>(
+          std::floor(((2.0L * nn - 1.0L) -
+                      std::sqrt((2.0L * nn - 1.0L) * (2.0L * nn - 1.0L) -
+                                8.0L * idx)) /
+                     2.0L));
+      auto s_of = [&](int64_t ii) {
+        return static_cast<long double>(ii) * (2.0L * nn - ii - 1.0L) / 2.0L;
+      };
+      if (s_of(i) > idx) --i;
+      if (s_of(i + 1) <= idx) ++i;
+      int64_t j = static_cast<int64_t>(idx - s_of(i)) + i + 1;
+      src.push_back(static_cast<int32_t>(i));
+      dst.push_back(static_cast<int32_t>(j));
+    }
+  }
+  std::vector<int64_t> deg(static_cast<size_t>(n), 0);
+  for (size_t k = 0; k < src.size(); ++k) {
+    ++deg[static_cast<size_t>(src[k])];
+    ++deg[static_cast<size_t>(dst[k])];
+  }
+  h->row_ptr.assign(static_cast<size_t>(n) + 1, 0);
+  for (int64_t i = 0; i < n; ++i)
+    h->row_ptr[static_cast<size_t>(i) + 1] =
+        h->row_ptr[static_cast<size_t>(i)] + deg[static_cast<size_t>(i)];
+  h->cols.assign(static_cast<size_t>(h->row_ptr[static_cast<size_t>(n)]), 0);
+  std::vector<int64_t> cursor(h->row_ptr.begin(), h->row_ptr.end() - 1);
+  for (size_t k = 0; k < src.size(); ++k) {
+    int32_t a = src[k], b = dst[k];
+    h->cols[static_cast<size_t>(cursor[static_cast<size_t>(a)]++)] = b;
+    h->cols[static_cast<size_t>(cursor[static_cast<size_t>(b)]++)] = a;
+  }
+  return h;
+}
+
 // datasetGen equivalent: sample ER(n, p) with geometric skips and stream
 // the native format (`nNodes\tnEdges` header, then `name\tname\tweight`
 // rows with random 12-char alphanumeric names, datasetGenerator.cpp:147-194).

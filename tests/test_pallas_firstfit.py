@@ -16,7 +16,7 @@ from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_first_fit
 def test_first_fit_kernel_matches_xla(medium_er):
     g = medium_er
     max_colors = g.max_degree + 1
-    block = 64
+    block = 128
     ell = g.to_ell(pad_nodes_to=block)
     key = jax.random.key(1)
     # partial coloring with some uncolored (-1)

@@ -34,7 +34,7 @@ def test_pallas_matches_xla_sweep(medium_er, kind, taboo_iters):
         taboo_iterations=taboo_iters,
         epsilon=1e-4,
     )
-    block = 64
+    block = 128
     ell = g.to_ell(pad_nodes_to=block)
     n_pad = ell.n_pad
     key = jax.random.key(5)
