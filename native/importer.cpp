@@ -162,26 +162,28 @@ void* mc_generate_er(int64_t n, double p, uint64_t seed) {
   std::vector<int32_t> src, dst;
   if (p > 0.0 && n > 1) {
     const double log1mp = std::log1p(-p);
-    const long double total =
-        static_cast<long double>(n) * static_cast<long double>(n - 1) / 2.0L;
+    const int64_t total_i =
+        n * (n - 1) / 2;  // fits int64 up to n ~ 4.3e9
+    const double total = static_cast<double>(total_i);
     src.reserve(static_cast<size_t>(total * p * 1.05) + 1024);
     dst.reserve(src.capacity());
-    const long double nn = static_cast<long double>(n);
-    long double pos = -1.0L;
+    // double index math is exact while total < 2^52 (n ≲ 9.4e7)
+    const double nn = static_cast<double>(n);
+    auto s_of = [&](int64_t ii) {
+      return static_cast<double>(ii) * (2.0 * nn - ii - 1.0) / 2.0;
+    };
+    double pos = -1.0;
     while (true) {
       double u = unif(eng);
       if (u <= 0.0) u = 1e-300;
       pos += std::floor(std::log(u) / log1mp) + 1.0;
       if (pos >= total) break;
-      long double idx = pos;
+      const double idx = pos;
       int64_t i = static_cast<int64_t>(
-          std::floor(((2.0L * nn - 1.0L) -
-                      std::sqrt((2.0L * nn - 1.0L) * (2.0L * nn - 1.0L) -
-                                8.0L * idx)) /
-                     2.0L));
-      auto s_of = [&](int64_t ii) {
-        return static_cast<long double>(ii) * (2.0L * nn - ii - 1.0L) / 2.0L;
-      };
+          std::floor(((2.0 * nn - 1.0) -
+                      std::sqrt((2.0 * nn - 1.0) * (2.0 * nn - 1.0) -
+                                8.0 * idx)) /
+                     2.0));
       if (s_of(i) > idx) --i;
       if (s_of(i + 1) <= idx) ++i;
       int64_t j = static_cast<int64_t>(idx - s_of(i)) + i + 1;
