@@ -27,10 +27,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(
     nc_ref,      # [B, d_pad] int32 neighbor colors (-1 padding)
-    cur_ref,     # [B//128, 128] int32 own color to exclude (-1 = none;
+    cur_ref,     # [8, 128] int32 tile: own color to exclude (-1 = none;
                  # VFF forbids the current color, coloringVFF.cu:371-372)
     allow_ref,   # [1, nColPad] int32 (1 = admissible target color)
-    out_ref,     # [B//128, 128] int32: smallest free∧allowed color, or -1
+    out_ref,     # [8, 128] int32 tile: smallest free∧allowed color or -1
     *,
     n_colors: int,
     n_col_pad: int,
@@ -62,7 +62,8 @@ def _kernel(
         )
         == 1
     )
-    cur = cur_ref[:].reshape(b)
+    rows = b // 128
+    cur = cur_ref[0:rows, :].reshape(b)
     eligible = (
         (~occ)
         & (col_ids < n_colors)
@@ -73,7 +74,7 @@ def _kernel(
     big = jnp.int32(n_col_pad)
     cand = jnp.min(jnp.where(eligible, col_ids, big), axis=1)
     out = jnp.where(cand >= n_colors, jnp.int32(-1), cand)
-    out_ref[:] = out.reshape(out_ref.shape)
+    out_ref[0:rows, :] = out.reshape(rows, 128)
 
 
 @functools.partial(
@@ -95,7 +96,7 @@ def pallas_first_fit(
     n_pad, d_pad = nc.shape
     assert n_pad % block == 0 and block % 128 == 0
     n_col_pad = _round_up(n_colors, 128)
-    vb = block // 128
+    from mcmc_colorer_tpu.ops.pallas_resample import _vec_pack, _vec_unpack
     allow_pad = jnp.zeros((1, n_col_pad), jnp.int32)
     allow_pad = allow_pad.at[0, :n_colors].set(allow.astype(jnp.int32))
     out = pl.pallas_call(
@@ -108,24 +109,29 @@ def pallas_first_fit(
                 (block, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (vb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, n_col_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (vb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad // block * 8, 128), jnp.int32
+        ),
         interpret=interpret,
     )(
         nc,
-        (
-            cur
-            if cur is not None
-            else jnp.full((n_pad,), -1, jnp.int32)
-        ).reshape(n_pad // 128, 128),
+        _vec_pack(
+            (
+                cur
+                if cur is not None
+                else jnp.full((n_pad,), -1, jnp.int32)
+            ),
+            block,
+        ),
         allow_pad,
     )
-    return out.reshape(n_pad)
+    return _vec_unpack(out, block, n_pad)

@@ -40,6 +40,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Vectors travel as 8-sublane tiles: [n_blocks*8, 128] with each grid
+# block's `block` values in the first block/128 rows of its tile.  A plain
+# [n, 1] operand is T(8,128)-padded 128x by XLA (catastrophic at n=1e6) and
+# a [block/128, 128] block violates the 8-sublane tiling rule; this layout
+# is exact under T(8,128) at an 8/(block/128) memory factor on the small
+# vector arrays only.
+
+
+def _vec_pack(x, block: int):
+    n_pad = x.shape[0]
+    nb = n_pad // block
+    rows = block // 128
+    y = x.reshape(nb, rows, 128)
+    pad = jnp.zeros((nb, 8 - rows, 128), x.dtype)
+    return jnp.concatenate([y, pad], axis=1).reshape(nb * 8, 128)
+
+
+def _vec_unpack(y, block: int, n_pad: int):
+    nb = n_pad // block
+    rows = block // 128
+    return y.reshape(nb, 8, 128)[:, :rows, :].reshape(n_pad)
+
+
 def _cumsum_lanes(x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     """Inclusive prefix sum along the lane axis via Hillis–Steele shifted
     adds (Mosaic has no cumsum primitive)."""
@@ -73,19 +96,18 @@ def _or_reduce_cols(x: jnp.ndarray) -> jnp.ndarray:
 def _kernel(
     nc_ref,      # [B, d_pad] int32 neighbor colors (-1 padding)
     neigh_ref,   # [B, d_pad] int32 neighbor ids (sentinel n_pad padding)
-    gid_ref,     # [B//128, 128] int32 global vertex id of each row (rows
-                 # need not be contiguous: the active-set path passes a
-                 # gathered subset; vectors travel as [n/128, 128] tiles
-                 # because [n, 1] operands pad 128x under T(8,128) layout)
-    cur_ref,     # [B//128, 128] int32 current colors
-    taboo_ref,   # [B//128, 128] int32
-    unif_ref,    # [B//128, 128] f32 pre-drawn uniforms
+    gid_ref,     # [8, 128] int32 tile; rows 0..B/128-1 hold this block's
+                 # global vertex ids (rows need not be contiguous: the
+                 # active-set path passes a gathered subset)
+    cur_ref,     # [8, 128] int32 tile: current colors
+    taboo_ref,   # [8, 128] int32 tile
+    unif_ref,    # [8, 128] f32 tile: pre-drawn uniforms
     p_eff_ref,   # [1, nColPad] f32 variant distribution (zero-padded)
     eps_ref,     # [1, 1] f32 effective epsilon (SMEM)
-    star_ref,    # [B//128, 128] int32 out
-    qstar_ref,   # [B//128, 128] f32 out
-    taboo_out_ref,  # [B//128, 128] int32 out
-    conf_ref,    # [B//128, 128] int32 out — per-vertex conflict counts of
+    star_ref,    # [8, 128] int32 out tile
+    qstar_ref,   # [8, 128] f32 out tile
+    taboo_out_ref,  # [8, 128] int32 out tile
+    conf_ref,    # [8, 128] int32 out tile — per-vertex conflict counts of
                  # the CURRENT coloring (dedup: neighbor id > own id),
                  # fused here so the chain loop needs ONE neighbor-color
                  # gather per iteration (the reference does calcConflicts
@@ -130,16 +152,17 @@ def _kernel(
         == 1
     )
 
-    cur = cur_ref[:].reshape(b)
-    unif = unif_ref[:].reshape(b)
-    taboo = taboo_ref[:].reshape(b)
-    gids = gid_ref[:].reshape(b)
+    rows = b // 128
+    cur = cur_ref[0:rows, :].reshape(b)
+    unif = unif_ref[0:rows, :].reshape(b)
+    taboo = taboo_ref[0:rows, :].reshape(b)
+    gids = gid_ref[0:rows, :].reshape(b)
     eps = eps_ref[0, 0]
 
     # ---- fused conflict count of the current coloring -------------------
     same = (nc == cur[:, None]) & (neigh_ref[:] > gids[:, None])
     conf = jnp.sum(same.astype(jnp.int32), axis=1)
-    conf_ref[:] = conf.reshape(conf_ref.shape)
+    conf_ref[0:rows, :] = conf.reshape(rows, 128)
 
     # ---- shared proposal formula + inverse-CDF sample -------------------
     q = _proposal_q(
@@ -169,9 +192,9 @@ def _kernel(
         jnp.where(chosen == cur, jnp.int32(params.taboo_iterations), 0),
     )
 
-    star_ref[:] = chosen.reshape(star_ref.shape)
-    qstar_ref[:] = qstar.reshape(qstar_ref.shape)
-    taboo_out_ref[:] = new_taboo.reshape(taboo_out_ref.shape)
+    star_ref[0:rows, :] = chosen.reshape(rows, 128)
+    qstar_ref[0:rows, :] = qstar.reshape(rows, 128)
+    taboo_out_ref[0:rows, :] = new_taboo.reshape(rows, 128)
 
 
 @functools.partial(
@@ -211,13 +234,12 @@ def pallas_sweep(
         _kernel, params=params, n_col_pad=n_col_pad
     )
     assert block % 128 == 0, block
-    vb = block // 128
     vec_spec = pl.BlockSpec(
-        (vb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
 
     def v(x):
-        return x.reshape(n_pad // 128, 128)
+        return _vec_pack(x, block)
     star, qstar, new_taboo, conf = pl.pallas_call(
         kernel,
         grid=grid,
@@ -246,10 +268,10 @@ def pallas_sweep(
             vec_spec,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad // block * 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad // block * 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // block * 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad // block * 8, 128), jnp.int32),
         ],
         interpret=interpret,
     )(
@@ -267,8 +289,8 @@ def pallas_sweep(
         eps[None, None],
     )
     return (
-        star.reshape(n_pad),
-        qstar.reshape(n_pad),
-        new_taboo.reshape(n_pad),
-        jnp.sum(conf),
+        _vec_unpack(star, block, n_pad),
+        _vec_unpack(qstar, block, n_pad),
+        _vec_unpack(new_taboo, block, n_pad),
+        jnp.sum(_vec_unpack(conf, block, n_pad)),
     )
