@@ -94,7 +94,7 @@ def _first_fit_pass(
             nc,
             jnp.ones((max_colors,), jnp.int32),
             n_colors=max_colors,
-            block=min(block, 256),
+            block=min(block, 128),
         )
         # max_colors = maxDeg+1 guarantees a free color for real vertices
         return jnp.where(colors < 0, first_free, colors)

@@ -560,7 +560,7 @@ def _tailcut(
                 nc_r,
                 jnp.ones((n_colors,), jnp.int32),
                 n_colors=n_colors,
-                block=min(block, 256),
+                block=min(block, 128),
             )
         n_blocks = n_pad // block
 

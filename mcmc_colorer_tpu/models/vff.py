@@ -138,7 +138,7 @@ def _run_vff(
                 nc_all,
                 allow,
                 n_colors=max_colors,
-                block=min(block, 256),
+                block=min(block, 128),
                 cur=colors,  # own color forbidden (coloringVFF.cu:371-372)
             )
             new_colors = jnp.where(unb & (cand >= 0), cand, colors)

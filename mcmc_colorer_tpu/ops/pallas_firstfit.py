@@ -85,7 +85,7 @@ def pallas_first_fit(
     allow: jnp.ndarray,     # [n_colors] bool/int — admissible target colors
     *,
     n_colors: int,
-    block: int = 256,
+    block: int = 128,
     interpret: bool = False,
     cur: jnp.ndarray | None = None,  # [n_pad] own colors to exclude
 ):

@@ -211,7 +211,7 @@ def pallas_sweep(
     eps: jnp.ndarray,      # scalar f32 effective epsilon
     *,
     params: MCMCParams,
-    block: int = 256,
+    block: int = 128,
     interpret: bool = False,
     self_ids: jnp.ndarray | None = None,  # [n_pad] global vertex ids; defaults
                                           # to arange (full-sweep layout)
