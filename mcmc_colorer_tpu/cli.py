@@ -108,7 +108,8 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument(
         "--active",
         action="store_true",
-        help="active-set chain: resample only the conflict frontier "
+        help="active-set / frontier mode: MCMC resamples only the conflict "
+        "frontier, Luby/GFF gather only candidate/uncolored rows "
         "(fastest time-to-solution; see models/mcmc_active.py)",
     )
     p.add_argument("--check", action="store_true", help="validate colorings")
@@ -211,11 +212,11 @@ def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
     if kind == ColorerKind.LUBY:
         from mcmc_colorer_tpu.models.luby import LubyColorer
 
-        return LubyColorer(g)
+        return LubyColorer(g, active=args.active)
     if kind == ColorerKind.GREEDY_FF:
         from mcmc_colorer_tpu.models.greedy_ff import GreedyFFColorer
 
-        return GreedyFFColorer(g)
+        return GreedyFFColorer(g, backend=args.backend, active=args.active)
     if kind == ColorerKind.VFF:
         from mcmc_colorer_tpu.models.vff import VFFColorer
 

@@ -33,7 +33,14 @@ class GreedyFFColorer:
         graph: Graph,
         block_size: int | None = None,
         backend: str = "auto",
+        active: bool = False,
+        min_bucket: int = 128,
+        bucket_factor: int = 4,
     ) -> None:
+        """``active=True`` runs the frontier variant: after the first full
+        pass only the conflict losers (the uncolored frontier, which decays
+        geometrically) are re-gathered each round — the GFF rendition of the
+        active-set MCMC design (models/mcmc_active.py; PERF.md roadmap)."""
         self.graph = graph
         self.max_colors = graph.max_degree + 1
         self.block = block_size or choose_block_size(graph.n, self.max_colors)
@@ -44,6 +51,7 @@ class GreedyFFColorer:
                 else "xla"
             )
         self.backend = backend
+        self.active = active
         from mcmc_colorer_tpu.graph.container import degree_pad_for
 
         self.ell = graph.to_ell(
@@ -58,10 +66,49 @@ class GreedyFFColorer:
                 backend=backend,
             )
         )
+        self._jit_rounds: dict[int, object] = {}
+        self._min_bucket = min_bucket
+        self._bucket_factor = bucket_factor
+
+    def _round_fn(self, cap: int):
+        if cap not in self._jit_rounds:
+            self._jit_rounds[cap] = jax.jit(
+                partial(
+                    _gff_active_round,
+                    max_colors=self.max_colors,
+                    backend=self.backend,
+                ),
+                static_argnames=("cap",),
+            )
+        return self._jit_rounds[cap]
+
+    def _run_active(self):
+        """Host-driven frontier loop; behaviourally identical to the
+        device-resident full loop (same deterministic first-fit + lowest-id
+        -wins rules), but each round gathers only |frontier|·d_pad neighbor
+        colors instead of n·d_pad."""
+        from mcmc_colorer_tpu.models.mcmc_active import _buckets
+
+        ell = self.ell
+        caps = _buckets(ell.n_pad, self._min_bucket, self._bucket_factor)
+        colors = jnp.where(
+            ell.node_mask, jnp.int32(-1), jnp.int32(self.max_colors)
+        )
+        uncolored = self.graph.n
+        rounds = 0
+        while uncolored > 0:
+            cap = next(c for c in caps if c >= uncolored)
+            colors, n_unc = self._round_fn(cap)(ell, colors, cap=cap)
+            uncolored = int(n_unc)
+            rounds += 1
+        return colors, rounds
 
     def run(self, seed: int = 0, repetition: int = 0) -> Coloring:
         t0 = time.perf_counter()
-        colors, rounds = self._jit_run(self.ell)
+        if self.active:
+            colors, rounds = self._run_active()
+        else:
+            colors, rounds = self._jit_run(self.ell)
         colors = np.asarray(jax.device_get(colors))[: self.graph.n]
         dur = (time.perf_counter() - t0) * 1e3
         used = int(np.unique(colors).shape[0])
@@ -123,6 +170,55 @@ def _conflict_losers(ell: EllGraph, colors: jnp.ndarray) -> jnp.ndarray:
         & (ell.neighbors < self_ids),
         axis=1,
     )
+
+
+def _gff_active_round(
+    ell: EllGraph,
+    colors: jnp.ndarray,
+    *,
+    cap: int,
+    max_colors: int,
+    backend: str,
+):
+    """One frontier-sized speculative round.
+
+    Gathers the ELL rows of the ≤``cap`` uncolored vertices, first-fits
+    them (tentative_coloring, coloringGreedyFF.cu:88-128), then detects
+    conflicts *within the frontier only* — a previously-colored neighbor's
+    color was occupied at first-fit time, so any same-color adjacency must
+    pair two frontier vertices; the higher id loses
+    (conflict_detection, coloringGreedyFF.cu:134-162).
+    Returns (colors', #losers).
+    """
+    n_pad = ell.n_pad
+    uncolored = (colors < 0) & ell.node_mask
+    (ids,) = jnp.nonzero(uncolored, size=cap, fill_value=n_pad)
+    valid = ids < n_pad
+    ids_c = jnp.minimum(ids, n_pad - 1)
+    rows = jnp.take(ell.neighbors, ids_c, axis=0)
+    rows = jnp.where(valid[:, None], rows, jnp.int32(n_pad))
+    nc = neighbor_colors(rows, colors)
+    if backend == "pallas":
+        from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_first_fit
+
+        first_free = pallas_first_fit(
+            nc,
+            jnp.ones((max_colors,), jnp.int32),
+            n_colors=max_colors,
+            block=min(cap, 128),
+        )
+    else:
+        occ = occupancy_matrix(nc, max_colors)
+        first_free = jnp.argmax(~occ, axis=1).astype(jnp.int32)
+    tentative = jnp.where(valid, first_free, jnp.int32(max_colors))
+    colors_t = colors.at[ids].set(tentative, mode="drop")
+    nc_new = neighbor_colors(rows, colors_t)
+    losers = valid & jnp.any(
+        (nc_new == tentative[:, None]) & (rows < ids[:, None]), axis=1
+    )
+    final = jnp.where(losers, jnp.int32(-1), tentative)
+    colors_next = colors.at[ids].set(final, mode="drop")
+    return colors_next, jnp.sum(losers.astype(jnp.int32))
 
 
 def _run_gff(

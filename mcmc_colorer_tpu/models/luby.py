@@ -31,15 +31,70 @@ from mcmc_colorer_tpu.utils import rng as rngu
 
 
 class LubyColorer:
-    def __init__(self, graph: Graph) -> None:
+    def __init__(
+        self,
+        graph: Graph,
+        active: bool = False,
+        min_bucket: int = 128,
+        bucket_factor: int = 4,
+    ) -> None:
+        """``active=True`` runs the frontier variant: every coin-flip /
+        survival round gathers only the rows of the remaining *candidates*
+        (which shrink within each MIS round and across colors) instead of
+        all n rows — the Luby rendition of the active-set design
+        (models/mcmc_active.py; PERF.md roadmap).  It also avoids the full
+        loop's [n_pad, d_pad] precomputed neighbor-degree matrix (4·n·d
+        bytes — prohibitive at n=1e6)."""
         self.graph = graph
-        self.ell = graph.to_ell()
+        self.active = active
+        pad = 128 if active else 8
+        self.ell = graph.to_ell(pad_nodes_to=pad)
         self._jit_run = jax.jit(_run_luby)
+        self._jit_rounds: dict[int, object] = {}
+        self._min_bucket = min_bucket
+        self._bucket_factor = bucket_factor
+
+    def _round_fn(self, cap: int):
+        if cap not in self._jit_rounds:
+            self._jit_rounds[cap] = jax.jit(
+                _luby_active_round, static_argnames=("cap",)
+            )
+        return self._jit_rounds[cap]
+
+    def _run_active(self, key):
+        from mcmc_colorer_tpu.models.mcmc_active import _buckets
+
+        ell = self.ell
+        n_pad = ell.n_pad
+        caps = _buckets(n_pad, self._min_bucket, self._bucket_factor)
+        colors = jnp.where(ell.node_mask, jnp.int32(-1), jnp.int32(0))
+        uncolored = self.graph.n
+        n_colors = 0
+        while uncolored > 0:
+            cands = (colors < 0) & ell.node_mask
+            is_set = jnp.zeros((n_pad,), jnp.bool_)
+            n_cand = uncolored
+            while n_cand > 0:
+                cap = next(c for c in caps if c >= n_cand)
+                key, k_r = jax.random.split(key)
+                cands, is_set, n_c = self._round_fn(cap)(
+                    ell, cands, is_set, k_r, cap=cap
+                )
+                n_cand = int(n_c)
+            colors, n_unc = _commit_color(
+                colors, is_set, jnp.int32(n_colors), ell.node_mask
+            )
+            uncolored = int(n_unc)
+            n_colors += 1
+        return colors, n_colors
 
     def run(self, seed: int, repetition: int = 0) -> Coloring:
         key = rngu.for_repetition(rngu.root_key(seed), repetition)
         t0 = time.perf_counter()
-        colors, n_colors = self._jit_run(self.ell, key)
+        if self.active:
+            colors, n_colors = self._run_active(key)
+        else:
+            colors, n_colors = self._jit_run(self.ell, key)
         colors = np.asarray(jax.device_get(colors))[: self.graph.n]
         dur = (time.perf_counter() - t0) * 1e3
         n_colors = int(n_colors)
@@ -50,6 +105,54 @@ class LubyColorer:
             converged=True,
             duration_ms=dur,
         )
+
+
+@jax.jit
+def _commit_color(colors, is_set, color_idx, node_mask):
+    """Assign the accumulated MIS its color
+    (add_color_and_check_uncolored_k, coloringLuby.cu:328-341)."""
+    colors = jnp.where(is_set, color_idx, colors)
+    return colors, jnp.sum(((colors < 0) & node_mask).astype(jnp.int32))
+
+
+def _luby_active_round(ell: EllGraph, cands, is_set, key, *, cap: int):
+    """One coin-flip/survival/prune step over the ≤``cap`` candidates.
+
+    Matches the full loop's semantics exactly (set_initial_distr_k coin
+    flip, deterministic higher-degree-wins survival of check_conflicts_k,
+    update_eligible_k pruning — coloringLuby.cu:232-312) but gathers only
+    the frontier's ELL rows.  Selection flag and degree of each neighbor
+    travel in ONE packed int32 gather (deg·2 | selected) instead of two.
+    """
+    n_pad = ell.n_pad
+    (ids,) = jnp.nonzero(cands, size=cap, fill_value=n_pad)
+    valid = ids < n_pad
+    ids_c = jnp.minimum(ids, n_pad - 1)
+    u = jax.random.uniform(key, (cap,), dtype=jnp.float32)
+    sel = valid & (u < 0.5)
+    sel_full = (
+        jnp.zeros((n_pad,), jnp.bool_).at[ids].set(sel, mode="drop")
+    )
+    rows = jnp.take(ell.neighbors, ids_c, axis=0)
+    rows = jnp.where(valid[:, None], rows, jnp.int32(n_pad))
+    packed = jax.lax.shift_left(ell.degrees, 1) | sel_full.astype(jnp.int32)
+    packed_ext = jnp.concatenate([packed, jnp.zeros((1,), jnp.int32)])
+    nb = jnp.take(packed_ext, rows, axis=0)
+    neigh_sel = (nb & 1) == 1
+    neigh_deg = jax.lax.shift_right_logical(nb, 1)
+    deg = jnp.take(ell.degrees, ids_c)
+    # survive iff deg_i > deg_j for every selected neighbor j (ties kill both)
+    beaten = jnp.any(neigh_sel & (neigh_deg >= deg[:, None]), axis=1)
+    surv = sel & ~beaten
+    surv_full = (
+        jnp.zeros((n_pad,), jnp.bool_).at[ids].set(surv, mode="drop")
+    )
+    is_set = is_set | surv_full
+    cands = cands & ~surv_full
+    # neighbors of survivors leave the candidate set
+    drop_rows = jnp.where(surv[:, None], rows, jnp.int32(n_pad))
+    cands = cands.at[drop_rows.reshape(-1)].set(False, mode="drop")
+    return cands, is_set, jnp.sum(cands.astype(jnp.int32))
 
 
 def _run_luby(ell: EllGraph, key):

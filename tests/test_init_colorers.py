@@ -59,3 +59,43 @@ def test_determinism_gff(medium_er):
     a = GreedyFFColorer(medium_er).run()
     b = GreedyFFColorer(medium_er).run()
     assert np.array_equal(a.colors, b.colors)
+
+
+def test_greedy_ff_active_matches_full(small_er, medium_er):
+    """The frontier variant is behaviourally identical to the full loop
+    (same deterministic first-fit + lowest-id-wins rules), so the final
+    colorings must match exactly."""
+    for g in (small_er, medium_er):
+        full = GreedyFFColorer(g).run()
+        act = GreedyFFColorer(g, active=True).run()
+        assert np.array_equal(full.colors, act.colors)
+        assert act.iterations == full.iterations
+
+
+def test_greedy_ff_active_bucket_ladder(medium_er):
+    # tiny buckets force several capacity switches through the ladder
+    r = GreedyFFColorer(
+        medium_er, active=True, min_bucket=128, bucket_factor=2
+    ).run()
+    assert check_coloring(medium_er, r.colors)
+    assert r.n_colors <= medium_er.max_degree + 1
+
+
+def test_luby_active_valid(small_er, medium_er):
+    for g in (small_er, medium_er):
+        r = LubyColorer(g, active=True).run(seed=5)
+        assert check_coloring(g, r.colors)
+        assert (r.colors >= 0).all() and (r.colors < r.n_colors).all()
+        assert r.n_colors <= g.max_degree + 1
+
+
+def test_luby_active_classes_are_maximal(small_er):
+    """Each peeled class must be a maximal independent set of the residual
+    graph; for class 0 that means every vertex either is in it or has a
+    neighbor in it (maximality over the whole graph)."""
+    g = small_er
+    r = LubyColorer(g, active=True).run(seed=9)
+    in0 = r.colors == 0
+    for v in range(g.n):
+        if not in0[v]:
+            assert in0[g.neighbors_of(v)].any(), v
