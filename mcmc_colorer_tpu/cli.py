@@ -220,7 +220,7 @@ def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
     if kind == ColorerKind.VFF:
         from mcmc_colorer_tpu.models.vff import VFFColorer
 
-        return VFFColorer(g)
+        return VFFColorer(g, backend=args.backend, active=args.active)
     raise ValueError(kind)
 
 

@@ -46,7 +46,15 @@ class VFFColorer:
         graph: Graph,
         block_size: int | None = None,
         backend: str = "auto",
+        active: bool = False,
+        min_bucket: int = 128,
+        bucket_factor: int = 4,
     ) -> None:
+        """``active=True`` runs the frontier variant: phase 1 is the active
+        GreedyFF loop and each phase-2 round gathers only the *unbalanced*
+        vertices' rows (the set the reference's detect_unbalanced flags,
+        which shrinks every round) instead of all n — the VFF rendition of
+        the active-set design (models/mcmc_active.py)."""
         self.graph = graph
         self.max_colors = graph.max_degree + 1
         self.block = block_size or choose_block_size(graph.n, self.max_colors)
@@ -57,6 +65,7 @@ class VFFColorer:
                 else "xla"
             )
         self.backend = backend
+        self.active = active
         from mcmc_colorer_tpu.graph.container import degree_pad_for
 
         self.ell = graph.to_ell(
@@ -71,10 +80,79 @@ class VFFColorer:
                 backend=backend,
             )
         )
+        self._jit_rounds: dict[int, object] = {}
+        self._min_bucket = min_bucket
+        self._bucket_factor = bucket_factor
+        self._gff = None  # phase-1 colorer, built once (keeps jit caches)
+
+    def _round_fn(self, cap: int):
+        if cap not in self._jit_rounds:
+            self._jit_rounds[cap] = jax.jit(
+                partial(
+                    _vff_active_round,
+                    max_colors=self.max_colors,
+                    backend=self.backend,
+                ),
+                static_argnames=("cap", "n_used", "gamma"),
+            )
+        return self._jit_rounds[cap]
+
+    def _run_active(self):
+        from mcmc_colorer_tpu.models.greedy_ff import GreedyFFColorer
+        from mcmc_colorer_tpu.models.mcmc_active import _buckets
+
+        ell = self.ell
+        # phase 1: frontier GreedyFF on the same ELL configuration
+        if self._gff is None:
+            self._gff = GreedyFFColorer(
+                self.graph,
+                block_size=self.block,
+                backend=self.backend,
+                active=True,
+                min_bucket=self._min_bucket,
+                bucket_factor=self._bucket_factor,
+            )
+        gff_colors, _ = self._gff._run_active()
+        n_used = int(
+            jnp.max(jnp.where(ell.node_mask, gff_colors, -1))
+        ) + 1
+        gamma = self.graph.n // max(n_used, 1)
+
+        bins, unb = _vff_detect(
+            ell, gff_colors, self.max_colors, gamma
+        )
+        n_unb = int(jnp.sum(unb.astype(jnp.int32)))
+        history = jnp.zeros((_UNBALANCED_HISTORY, ell.n_pad), jnp.bool_)
+        caps = _buckets(ell.n_pad, self._min_bucket, self._bucket_factor)
+        colors = gff_colors
+        rounds = 0
+        looping = False
+        while n_unb > 0 and not looping:
+            cap = next(c for c in caps if c >= n_unb)
+            colors, bins, unb, history, looping_d = self._round_fn(cap)(
+                ell,
+                colors,
+                bins,
+                unb,
+                history,
+                jnp.int32(rounds),
+                cap=cap,
+                n_used=n_used,
+                gamma=gamma,
+            )
+            rounds += 1
+            n_unb = int(jnp.sum(unb.astype(jnp.int32)))
+            looping = bool(looping_d)
+        if looping:
+            colors = gff_colors  # livelock fallback (coloringVFF.cu:232-234)
+        return colors, n_used, rounds, looping
 
     def run(self, seed: int = 0, repetition: int = 0) -> Coloring:
         t0 = time.perf_counter()
-        colors, n_used, rounds, fell_back = self._jit_run(self.ell)
+        if self.active:
+            colors, n_used, rounds, fell_back = self._run_active()
+        else:
+            colors, n_used, rounds, fell_back = self._jit_run(self.ell)
         colors = np.asarray(jax.device_get(colors))[: self.graph.n]
         dur = (time.perf_counter() - t0) * 1e3
         return Coloring(
@@ -85,6 +163,92 @@ class VFFColorer:
             duration_ms=dur,
             extra={"livelock_fallback": bool(fell_back)},
         )
+
+
+@partial(jax.jit, static_argnames=("max_colors", "gamma"))
+def _vff_detect(ell: EllGraph, colors, max_colors: int, gamma: int):
+    """(bins, unbalanced mask): node flagged iff its class is oversized
+    (detect_unbalanced_nodes, coloringVFF.cu:323-334)."""
+    bins = color_histogram(colors, max_colors, ell.node_mask)
+    sz = jnp.take(bins, jnp.clip(colors, 0, max_colors - 1))
+    return bins, ell.node_mask & (jnp.int32(gamma) < sz)
+
+
+def _vff_active_round(
+    ell: EllGraph,
+    colors,
+    bins,
+    unb,
+    history,
+    rounds,
+    *,
+    cap: int,
+    max_colors: int,
+    n_used: int,
+    gamma: int,
+    backend: str,
+):
+    """One frontier-sized rebalancing round over the ≤``cap`` unbalanced
+    vertices: move to the lowest free *undersized* class
+    (tentative_rebalancing with the intended bin rule, SURVEY §9.6), flag
+    the movers that now conflict with a lower-id mover (solve_conflicts,
+    coloringVFF.cu:411-437), maintain bins incrementally, and advance the
+    10-deep livelock history ring."""
+    n_pad = ell.n_pad
+    allow = (bins < jnp.int32(gamma)) & (
+        jnp.arange(max_colors, dtype=jnp.int32) < jnp.int32(n_used)
+    )
+    (ids,) = jnp.nonzero(unb, size=cap, fill_value=n_pad)
+    valid = ids < n_pad
+    ids_c = jnp.minimum(ids, n_pad - 1)
+    rows = jnp.take(ell.neighbors, ids_c, axis=0)
+    rows = jnp.where(valid[:, None], rows, jnp.int32(n_pad))
+    cur = jnp.where(
+        valid, jnp.take(colors, ids_c), jnp.int32(max_colors)
+    )
+    nc = neighbor_colors(rows, colors)
+    if backend == "pallas":
+        from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_first_fit
+
+        cand = pallas_first_fit(
+            nc,
+            allow,
+            n_colors=max_colors,
+            block=min(cap, 128),
+            cur=cur,  # own color forbidden (coloringVFF.cu:371-372)
+        )
+    else:
+        occ = occupancy_matrix(nc, max_colors)
+        occ = occ.at[
+            jnp.arange(cap), jnp.clip(cur, 0, max_colors - 1)
+        ].set(True)
+        eligible = (~occ) & allow[None, :]
+        k = jnp.argmax(eligible, axis=1).astype(jnp.int32)
+        cand = jnp.where(jnp.any(eligible, axis=1), k, jnp.int32(-1))
+    moved = valid & (cand >= 0)
+    new_col = jnp.where(moved, cand, cur)
+    colors_next = colors.at[ids].set(new_col, mode="drop")
+    # conflicts can only pair two movers (a stationary neighbor's color was
+    # forbidden at choice time); stay flagged iff a lower-id neighbor now
+    # shares the color
+    nc_new = neighbor_colors(rows, colors_next)
+    conflicted = jnp.any(
+        (nc_new == new_col[:, None]) & (rows < ids[:, None]), axis=1
+    )
+    unb_f = valid & conflicted
+    unb_next = (
+        jnp.zeros((n_pad,), jnp.bool_).at[ids].set(unb_f, mode="drop")
+    )
+    # incremental bins: -1 from the source class, +1 to the target
+    src = jnp.where(moved, cur, jnp.int32(max_colors))
+    dst = jnp.where(moved, new_col, jnp.int32(max_colors))
+    bins_next = (
+        bins.at[src].add(-1, mode="drop").at[dst].add(1, mode="drop")
+    )
+    history = jnp.roll(history, 1, axis=0).at[0].set(unb_next)
+    filled = rounds + 1 >= _UNBALANCED_HISTORY
+    looping = filled & jnp.all(history == history[0:1])
+    return colors_next, bins_next, unb_next, history, looping
 
 
 def _run_vff(

@@ -9,13 +9,25 @@ axis and whole chains over the ``chains`` axis, inside one `shard_map`:
 * boundary colors are exchanged with one tiled `all_gather` per sweep —
   the distributed analogue of the reference's per-iteration D2H/H2D
   histogram round-trip (coloringMCMC_main.cu:210-214);
-* conflict counts `psum` over shards, deduped by global vertex id
-  (owner = lower id, mirroring the ``idx < neigh`` rule,
-  coloringMCMC_utils.cu:115; SURVEY §10 hard part 6);
+* conflict counts `psum` over shards: every shard counts the same-color
+  neighbors of its *owned* vertices, so each conflict edge is counted by
+  exactly two owners and the psum'd total halves exactly (the distributed
+  rendition of the ``idx < neigh`` dedup, coloringMCMC_utils.cu:115;
+  SURVEY §10 hard part 6);
 * chains advance in lock-step, enabling **pooled annealing**: when the
   pooled (cross-chain mean) conflict count stalls, ε is boosted so chains
   explore more — the systematic version of the reference's interactive
   live-ε editing (dbg.cpp:358-381).
+
+With ``active_cap`` set, each chain switches per-iteration to a
+**frontier sweep** once every shard's eligible frontier fits in the cap:
+only the ≤cap violating taboo-free owned vertices are re-gathered and
+resampled (plus the single sparse ε-flip of a non-violating vertex, as in
+models/mcmc_active.py), and the per-vertex conflict counts are maintained
+*exactly* by psum-ing one incremental delta vector built from the changed
+vertices' ELL rows.  This is the lock-step active-set ensemble of the
+PERF.md roadmap: the per-sweep gather cost drops from n·d to |frontier|·d
+per shard while chains stay synchronised for pooled annealing.
 
 All chains and shards run the loop to the globally-last convergence;
 converged chains freeze in place.
@@ -71,7 +83,12 @@ class ShardedMCMCColorer:
         anneal: AnnealConfig | None = None,
         block_size: int | None = None,
         backend: str = "auto",
+        active_cap: int | None = None,
     ) -> None:
+        """``active_cap``: per-shard frontier capacity (rounded up to a
+        multiple of 128).  When every shard's eligible frontier fits, the
+        chain switches to frontier sweeps (see module docstring).  None
+        disables active mode (every sweep is full)."""
         if params.hastings:
             raise NotImplementedError(
                 "Metropolis-Hastings acceptance is single-chip only for now"
@@ -111,6 +128,12 @@ class ShardedMCMCColorer:
             pad_degree_to=degree_pad_for(graph, backend),
         )
         self._n_pad = self.ell.n_pad
+        n_loc_final = self._n_pad // ms
+        if active_cap is not None:
+            active_cap = min(
+                n_loc_final, ((max(active_cap, 1) + 127) // 128) * 128
+            )
+        self.active_cap = active_cap
         self._jit_run = jax.jit(
             partial(
                 _run_sharded,
@@ -121,6 +144,7 @@ class ShardedMCMCColorer:
                 anneal=self.anneal,
                 n_nodes=graph.n,
                 backend=backend,
+                active_cap=active_cap,
             ),
             static_argnames=(),
         )
@@ -215,11 +239,13 @@ def _run_sharded(
     anneal: AnnealConfig,
     n_nodes: int,
     backend: str = "xla",
+    active_cap: int | None = None,
 ):
     n_pad, d_pad = neighbors.shape
     ms = mesh.shape["shards"]
     n_loc = n_pad // ms
     cl = chains_per_dev
+    cap = active_cap
     n_colors = params.n_colors
     z = jnp.int32(params.tailcut_threshold(n_nodes))
     eps_cap = 0.4 / max(n_colors - 1, 1)
@@ -241,25 +267,23 @@ def _run_sharded(
 
         colors0, loop_keys = jax.vmap(init_chain)(keys_loc)  # [cl, n_pad]
 
-        def conflicts_of(colors_full):
-            """Per-chain global conflict-edge count: local rows counted with
-            the neigh > global-id dedup, then psum over shards."""
+        def cnt_of(cf):
+            """[n_loc] same-color-neighbor counts of the owned vertices
+            (one full local gather)."""
+            cf_ext = jnp.concatenate([cf, jnp.full((1,), -1, jnp.int32)])
+            nc = jnp.take(cf_ext, neigh_loc, axis=0)
+            own = jnp.take(cf, jnp.clip(self_gids, 0, n_pad - 1))
+            return jnp.sum((nc == own[:, None]).astype(jnp.int32), axis=1)
 
-            def one(cf):
-                cf_ext = jnp.concatenate(
-                    [cf, jnp.full((1,), -1, jnp.int32)]
-                )
-                nc = jnp.take(cf_ext, neigh_loc, axis=0)
-                own = jnp.take(cf, jnp.clip(self_gids, 0, n_pad - 1))
-                same = (nc == own[:, None]) & (
-                    neigh_loc > self_gids[:, None]
-                )
-                return jnp.sum(same, dtype=jnp.int32)
+        def conflicts_from_cnt(cnt):
+            """[cl] global conflict-edge counts: each conflict edge is
+            counted by the owners of both endpoints, so the psum'd total
+            halves exactly (distributed ``idx < neigh`` dedup)."""
+            local = jnp.sum(cnt, axis=1, dtype=jnp.int32)
+            return jax.lax.psum(local, "shards") // 2
 
-            local = jax.vmap(one)(colors_full)  # [cl]
-            return jax.lax.psum(local, "shards")
-
-        conflicts0 = conflicts_of(colors0)
+        cnt0 = jax.vmap(cnt_of)(colors0)  # [cl, n_loc]
+        conflicts0 = conflicts_from_cnt(cnt0)
         taboo0 = jnp.zeros((cl, n_loc), jnp.int32)
         trace0 = jnp.full(
             (cl, params.max_iterations + 1), -1, jnp.int32
@@ -270,13 +294,14 @@ def _run_sharded(
         )
 
         def cond(carry):
-            (_, _, _, rip, conflicts, _, undone, *_a) = carry
+            (_, _, _, _, rip, conflicts, _, undone, *_a) = carry
             return (undone > 0) & (rip < jnp.int32(params.max_iterations))
 
         def loop_body(carry):
             (
                 colors_full,
                 taboo,
+                cnt,
                 ks,
                 rip,
                 conflicts,
@@ -371,27 +396,233 @@ def _run_sharded(
                 star_b, tb_b = jax.lax.map(block_fn, xs)
                 return star_b.reshape(n_loc), tb_b.reshape(n_loc), key
 
+            def full_branch(cf, tb, cnt_c, key):
+                """Full synchronous sweep + halo exchange + cnt recompute
+                (the recompute IS the conflict count's gather)."""
+                star_loc, new_tb, key = chain_sweep(cf, tb, key)
+                star_full = jax.lax.all_gather(
+                    star_loc, "shards", axis=0, tiled=True
+                )
+                return star_full, new_tb, cnt_of(star_full), key
+
+            def active_branch(cf, tb, cnt_c, key):
+                """Frontier sweep: resample only the ≤cap eligible owned
+                vertices (cnt>0, taboo-free); apply passive dynamics
+                (taboo decrement/reset + one sparse ε-flip) to the rest;
+                maintain cnt exactly from the changed vertices' rows via
+                one psum'd delta vector.  Mirrors
+                models/mcmc_active.py:_active_iteration per shard."""
+                key, ku, kf1, kf2, kf3 = jax.random.split(key, 5)
+                t_iter = jnp.int32(params.taboo_iterations)
+                eligible = (cnt_c > 0) & (tb == 0) & real_loc
+                (lids,) = jnp.nonzero(eligible, size=cap, fill_value=n_loc)
+                lvalid = lids < n_loc
+                lids_c = jnp.minimum(lids, n_loc - 1)
+                gids = jnp.where(lvalid, offset + lids, jnp.int32(n_pad))
+                rows = jnp.take(neigh_loc, lids_c, axis=0)
+                rows = jnp.where(lvalid[:, None], rows, jnp.int32(n_pad))
+                cur = jnp.where(
+                    lvalid,
+                    jnp.take(cf, jnp.minimum(gids, n_pad - 1)),
+                    jnp.int32(n_colors),
+                )
+                cf_ext = jnp.concatenate(
+                    [cf, jnp.full((1,), -1, jnp.int32)]
+                )
+                nc = jnp.take(cf_ext, rows, axis=0)
+                if _needs_histogram(params):
+                    hist = (
+                        jnp.zeros((n_colors,), jnp.int32)
+                        .at[jnp.where(full_real, cf, n_colors)]
+                        .add(1, mode="drop")
+                    )
+                else:
+                    hist = None
+                p_eff = _variant_distribution(params, hist, n_nodes)
+                u = jax.random.uniform(
+                    jax.random.fold_in(ku, shard_id),
+                    (cap,),
+                    dtype=jnp.float32,
+                )
+                if backend == "pallas":
+                    from mcmc_colorer_tpu.ops.pallas_resample import (
+                        pallas_sweep,
+                    )
+
+                    p_eff_arr = (
+                        p_eff
+                        if p_eff is not None
+                        else jnp.zeros((n_colors,), jnp.float32)
+                    )
+                    chosen, _q, new_tb_a, _c = pallas_sweep(
+                        nc,
+                        rows,
+                        cur,
+                        jnp.zeros((cap,), jnp.int32),
+                        u,
+                        p_eff_arr,
+                        eps_eff,
+                        params=params,
+                        block=min(cap, 128),
+                        self_ids=gids,
+                    )
+                else:
+                    occ = occupancy_matrix(nc, n_colors)
+                    q = _proposal_q(cur, occ, params, p_eff, eps_eff)
+                    chosen = _sample_cdf(q, u)
+                    new_tb_a = jnp.where(chosen == cur, t_iter, 0)
+                chosen = jnp.where(lvalid, chosen, cur)
+
+                # sparse ε-flip: with prob 1-(1-(nCol-1)ε)^|passive| one
+                # passive vertex redraws a non-current color (chain-level
+                # decision — the chain key is replicated over shards)
+                p_per = jnp.minimum(
+                    (n_colors - 1)
+                    * jnp.asarray(eps_eff, jnp.float32),
+                    jnp.float32(0.999999),
+                )
+                passive = (cnt_c == 0) & (tb == 0) & real_loc
+                n_passive = jax.lax.psum(
+                    jnp.sum(passive.astype(jnp.float32)), "shards"
+                )
+                p_any = 1.0 - jnp.exp(n_passive * jnp.log1p(-p_per))
+                do_flip = jax.random.uniform(kf1, ()) < p_any
+                fv = jax.random.randint(
+                    kf2, (), 0, n_nodes, dtype=jnp.int32
+                )
+                fv_lid = fv - offset
+                fv_mine = (fv_lid >= 0) & (fv_lid < n_loc)
+                fv_lid_c = jnp.clip(fv_lid, 0, n_loc - 1)
+                fv_elig = fv_mine & jnp.take(passive, fv_lid_c)
+                fv_ok = do_flip & (
+                    jax.lax.psum(fv_elig.astype(jnp.int32), "shards") > 0
+                )
+                fv_old = jnp.take(cf, fv)
+                offs = jax.random.randint(
+                    kf3, (), 1, max(n_colors, 2), dtype=jnp.int32
+                )
+                fv_new = jax.lax.rem(fv_old + offs, jnp.int32(n_colors))
+                x_valid = fv_ok & fv_elig
+                x_lid = jnp.where(x_valid, fv_lid_c, jnp.int32(n_loc))
+                x_row = jnp.take(neigh_loc, fv_lid_c, axis=0)
+                x_row = jnp.where(x_valid, x_row, jnp.int32(n_pad))
+
+                # changed-slot arrays: the ≤cap frontier plus the flip slot
+                lids2 = jnp.concatenate([lids, x_lid[None]])
+                lvalid2 = jnp.concatenate([lvalid, x_valid[None]])
+                old2 = jnp.concatenate([cur, fv_old[None]])
+                new2 = jnp.concatenate(
+                    [chosen, jnp.where(x_valid, fv_new, fv_old)[None]]
+                )
+                rows2 = jnp.concatenate([rows, x_row[None, :]], axis=0)
+
+                # passive taboo dynamics: decrement if locked, else the
+                # keep-draw resets to T; active slots take kernel results;
+                # the flipped vertex drew a change -> 0
+                tb_next = jnp.where(
+                    tb > 0, tb - 1, jnp.where(real_loc, t_iter, 0)
+                )
+                tb_next = tb_next.at[lids].set(new_tb_a, mode="drop")
+                tb_next = tb_next.at[x_lid].set(0, mode="drop")
+
+                star_loc = jax.lax.dynamic_slice(cf, (offset,), (n_loc,))
+                star_loc = star_loc.at[lids2].set(
+                    jnp.where(lvalid2, new2, 0), mode="drop"
+                )
+                changed2 = lvalid2 & (new2 != old2)
+                changed_loc = (
+                    jnp.zeros((n_loc,), jnp.bool_)
+                    .at[lids2]
+                    .set(changed2, mode="drop")
+                )
+                # ONE all_gather moves both the new colors and the changed
+                # flags (color<<1 | changed); sentinel -2 decodes to
+                # color -1, changed 0
+                packed_loc = jax.lax.shift_left(
+                    star_loc, 1
+                ) | changed_loc.astype(jnp.int32)
+                packed_full = jax.lax.all_gather(
+                    packed_loc, "shards", axis=0, tiled=True
+                )
+                star_full = jax.lax.shift_right_arithmetic(packed_full, 1)
+                packed_ext = jnp.concatenate(
+                    [packed_full, jnp.full((1,), -2, jnp.int32)]
+                )
+                nb2 = jnp.take(packed_ext, rows2, axis=0)
+                t_changed = (nb2 & 1) == 1
+                t_color = jax.lax.shift_right_arithmetic(nb2, 1)
+
+                # cnt deltas: contributions to *unchanged* neighbors (a
+                # changed neighbor's own recount already accounts for me),
+                # plus exact recounts of the changed vertices themselves
+                contrib = jnp.where(
+                    changed2[:, None] & ~t_changed,
+                    (t_color == new2[:, None]).astype(jnp.int32)
+                    - (t_color == old2[:, None]).astype(jnp.int32),
+                    0,
+                )
+                delta = (
+                    jnp.zeros((n_pad,), jnp.int32)
+                    .at[rows2.reshape(-1)]
+                    .add(contrib.reshape(-1), mode="drop")
+                )
+                recount = jnp.sum(
+                    (t_color == new2[:, None]).astype(jnp.int32), axis=1
+                )
+                cnt_old2 = jnp.take(cnt_c, jnp.clip(lids2, 0, n_loc - 1))
+                self_t = jnp.where(
+                    changed2, offset + jnp.minimum(lids2, n_loc - 1), n_pad
+                )
+                delta = delta.at[self_t].add(
+                    jnp.where(changed2, recount - cnt_old2, 0), mode="drop"
+                )
+                delta = jax.lax.psum(delta, "shards")
+                cnt_next = cnt_c + jax.lax.dynamic_slice(
+                    delta, (offset,), (n_loc,)
+                )
+                return star_full, tb_next, cnt_next, key
+
             # python loop over the per-device chains (cl is small & static;
             # avoids vmap-of-pallas_call)
-            stars, taboos, keys_out = [], [], []
+            stars, taboos, cnts, keys_out = [], [], [], []
             for c in range(cl):
-                s, t, k = chain_sweep(colors_full[c], taboo[c], ks[c])
+                if cap is None:
+                    s, t, ct, k = full_branch(
+                        colors_full[c], taboo[c], cnt[c], ks[c]
+                    )
+                else:
+                    elig_cnt = jnp.sum(
+                        (
+                            (cnt[c] > 0) & (taboo[c] == 0) & real_loc
+                        ).astype(jnp.int32)
+                    )
+                    use_active = (
+                        jax.lax.pmax(elig_cnt, "shards") <= jnp.int32(cap)
+                    )
+                    s, t, ct, k = jax.lax.cond(
+                        use_active,
+                        active_branch,
+                        full_branch,
+                        colors_full[c],
+                        taboo[c],
+                        cnt[c],
+                        ks[c],
+                    )
                 stars.append(s)
                 taboos.append(t)
+                cnts.append(ct)
                 keys_out.append(k)
-            star_loc = jnp.stack(stars)
+            star_full = jnp.stack(stars)       # [cl, n_pad] (replicated)
             new_taboo = jnp.stack(taboos)
+            new_cnt = jnp.stack(cnts)
             new_keys = jnp.stack(keys_out)
-            # halo exchange: owned slices -> full coloring on every shard
-            star_full = jax.lax.all_gather(
-                star_loc, "shards", axis=1, tiled=True
-            )
-            conflicts_star = conflicts_of(star_full)
+            conflicts_star = conflicts_from_cnt(new_cnt)
             # freeze finished chains
             colors_next = jnp.where(
                 active[:, None], star_full, colors_full
             )
             taboo_next = jnp.where(active[:, None], new_taboo, taboo)
+            cnt_next = jnp.where(active[:, None], new_cnt, cnt)
             conflicts_next = jnp.where(active, conflicts_star, conflicts)
             rip = rip + 1
             trace = trace.at[:, rip].set(conflicts_next)
@@ -419,6 +650,7 @@ def _run_sharded(
             return (
                 colors_next,
                 taboo_next,
+                cnt_next,
                 new_keys,
                 rip,
                 conflicts_next,
@@ -432,6 +664,7 @@ def _run_sharded(
         init = (
             colors0,
             taboo0,
+            cnt0,
             loop_keys,
             jnp.int32(0),
             conflicts0,
@@ -444,6 +677,7 @@ def _run_sharded(
         (
             colors_full,
             _taboo,
+            _cnt,
             _ks,
             rip,
             conflicts,

@@ -89,6 +89,26 @@ def test_luby_active_valid(small_er, medium_er):
         assert r.n_colors <= g.max_degree + 1
 
 
+def test_vff_active_valid_and_balanced(small_er, medium_er):
+    """Frontier VFF must keep the full variant's contract: valid coloring
+    within the GFF palette; when no livelock fallback fired the class-size
+    spread must not exceed the plain GFF one."""
+    for g in (small_er, medium_er):
+        gff = GreedyFFColorer(g).run()
+        r = VFFColorer(g, active=True).run()
+        assert check_coloring(g, r.colors)
+        assert int(np.max(r.colors)) < r.n_colors
+        if not r.extra["livelock_fallback"]:
+            assert r.class_stats()["std"] <= gff.class_stats()["std"] + 1e-6
+
+
+def test_vff_active_matches_full_palette(medium_er):
+    full = VFFColorer(medium_er).run()
+    act = VFFColorer(medium_er, active=True).run()
+    # phase 1 is deterministic and identical, so the palettes agree
+    assert act.n_colors == full.n_colors
+
+
 def test_luby_active_classes_are_maximal(small_er):
     """Each peeled class must be a maximal independent set of the residual
     graph; for class 0 that means every vertex either is in it or has a

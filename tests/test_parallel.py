@@ -91,6 +91,45 @@ def test_sharded_actually_shards(medium_er):
         )
 
 
+def test_sharded_active_cap(medium_er):
+    """Frontier sweeps (active_cap) must preserve the chain contract:
+    lock-step convergence to a valid coloring with exact conflict
+    bookkeeping (the incremental cnt psum must agree with the full
+    recount at the end: conflicts==0 iff check_coloring passes)."""
+    mesh = make_mesh(chains=2, shards=4)
+    colorer = ShardedMCMCColorer(
+        medium_er,
+        _params(medium_er, tailcut=True),
+        mesh,
+        n_chains=2,
+        active_cap=128,
+    )
+    best, summaries = colorer.run(seed=31)
+    assert check_coloring(medium_er, best.colors)
+    assert best.extra["final_conflicts"] == 0
+
+
+def test_sharded_active_matches_full_count(small_er):
+    """With a cap so large the frontier always fits, active sweeps start
+    from iteration 1; the run must still converge and report conflicts
+    consistent with an independent recount of the returned coloring."""
+    from mcmc_colorer_tpu.models.base import count_conflict_edges
+
+    mesh = make_mesh(chains=1, shards=2, devices=jax.devices()[:2])
+    p = _params(small_er)
+    colorer = ShardedMCMCColorer(
+        small_er, p, mesh, active_cap=10**9
+    )
+    best, _ = colorer.run(seed=37)
+    ell = small_er.to_ell()
+    import jax.numpy as jnp
+
+    pad = np.full(ell.n_pad, p.n_colors, np.int32)
+    pad[: small_er.n] = best.colors
+    recount = int(count_conflict_edges(ell, jnp.asarray(pad)))
+    assert best.extra["final_conflicts"] == recount == 0
+
+
 def test_sharded_annealing_runs(medium_er):
     mesh = make_mesh(chains=4, shards=2)
     p = MCMCParams(
