@@ -103,6 +103,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--backend", choices=["auto", "pallas", "xla"], default="auto"
     )
     tpu.add_argument(
+        "--layout",
+        choices=["flat", "bucketed"],
+        default="flat",
+        help="ELL device layout for the MCMC chain: 'bucketed' groups "
+        "vertices by degree class (10-100x less gather volume on "
+        "skewed-degree graphs)",
+    )
+    tpu.add_argument(
         "--anneal", action="store_true", help="pooled epsilon annealing"
     )
     tpu.add_argument(
@@ -208,7 +216,9 @@ def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
             return ActiveMCMCColorer(g, params, backend=args.backend)
         from mcmc_colorer_tpu.models.mcmc import MCMCColorer
 
-        return MCMCColorer(g, params, backend=args.backend)
+        return MCMCColorer(
+            g, params, backend=args.backend, layout=args.layout
+        )
     if kind == ColorerKind.LUBY:
         from mcmc_colorer_tpu.models.luby import LubyColorer
 

@@ -148,6 +148,37 @@ class Graph:
             node_names=self.node_names, name=self.name,
         )
 
+    def degree_relabel(self) -> tuple["Graph", np.ndarray]:
+        """Relabel vertices by ascending degree (stable).
+
+        Returns (relabeled graph, perm) with ``perm[new_id] = old_id``.
+        Foundation of the degree-bucketed ELL layout: contiguous id ranges
+        then share a degree class, so per-bucket neighbor rectangles can be
+        padded to their own class width instead of the global max degree
+        (PERF.md roadmap item 5)."""
+        perm = np.argsort(self.degrees, kind="stable").astype(np.int64)
+        inv = np.empty(self.n, np.int64)
+        inv[perm] = np.arange(self.n, dtype=np.int64)
+        degs = self.degrees[perm].astype(np.int64)
+        row_ptr = np.zeros(self.n + 1, dtype=np.int64)
+        np.cumsum(degs, out=row_ptr[1:])
+        old_starts = self.row_ptr[perm]
+        total = int(row_ptr[-1])
+        idx = (
+            np.repeat(old_starts, degs)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(row_ptr[:-1], degs)
+        )
+        cols = inv[self.cols[idx]].astype(np.int32)
+        g = Graph(
+            n=self.n,
+            row_ptr=row_ptr,
+            cols=cols,
+            node_names=None,
+            name=self.name + "_degsorted",
+        )
+        return g, perm
+
     # -- device layout -----------------------------------------------------
 
     def to_ell(
@@ -180,6 +211,86 @@ class Graph:
         return EllGraph(
             neighbors=jnp.asarray(neigh),
             degrees=jnp.asarray(degrees),
+            n_nodes=self.n,
+            n_edges=self.n_edges,
+            max_degree=self.max_degree,
+        )
+
+    def to_ell_bucketed(
+        self,
+        *,
+        block: int = 128,
+        min_lane: int = 8,
+        lane_factor: int = 4,
+    ) -> "BucketedEll":
+        """Pack the CSR into degree-bucketed ELL rectangles.
+
+        The graph MUST be degree-ascending (use ``degree_relabel`` first).
+        Vertices are grouped into contiguous degree classes of widths
+        ``min_lane · lane_factor^k``; each class becomes one rectangle
+        padded to its own width and to a ``block``-multiple height.
+        Classes with fewer than ``block`` vertices are folded into the
+        next wider class (bounds the rectangle count, hence per-shape
+        kernel compiles).  See `BucketedEll` for why."""
+        degs = self.degrees.astype(np.int64)
+        assert self.n > 0
+        assert np.all(np.diff(degs) >= 0), (
+            "to_ell_bucketed requires ascending degrees - call "
+            "degree_relabel() first"
+        )
+        maxd = max(int(degs[-1]), 1)
+        cap_w = _round_up(maxd, min_lane)
+        widths = [min_lane]
+        while widths[-1] < maxd:
+            widths.append(min(widths[-1] * lane_factor, cap_w))
+        cut = np.searchsorted(degs, np.asarray(widths), side="right")
+        segs: list[list[int]] = []  # [v0, v1, width]
+        v0 = 0
+        for w, v1 in zip(widths, cut.tolist()):
+            if v1 > v0:
+                segs.append([v0, v1, w])
+                v0 = v1
+        # fold under-filled classes into the next wider one
+        folded: list[list[int]] = []
+        for seg in segs:
+            if folded and folded[-1][1] - folded[-1][0] < block:
+                folded[-1][1] = seg[1]
+                folded[-1][2] = seg[2]
+            else:
+                folded.append(seg)
+        segs = folded
+
+        heights = [_round_up(b - a, block) for a, b, _ in segs]
+        starts = np.concatenate([[0], np.cumsum(heights)])[:-1]
+        n_pad = int(sum(heights))
+        # padded-global position of every (relabeled) vertex id
+        pos = np.empty(self.n, dtype=np.int64)
+        for (a, b, _), s in zip(segs, starts.tolist()):
+            pos[a:b] = s + np.arange(b - a, dtype=np.int64)
+
+        slices = []
+        for (a, b, w), s, h_pad in zip(segs, starts.tolist(), heights):
+            h = b - a
+            seg_degs = degs[a:b]
+            assert not len(seg_degs) or int(seg_degs.max()) <= w
+            neigh = np.full((h_pad, w), n_pad, dtype=np.int32)
+            total = int(seg_degs.sum())
+            row = np.repeat(np.arange(h, dtype=np.int64), seg_degs)
+            base = self.row_ptr[a]
+            col = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(self.row_ptr[a:b] - base, seg_degs)
+            )
+            neigh[row, col] = pos[
+                self.cols[base : self.row_ptr[b]]
+            ].astype(np.int32)
+            slices.append(
+                EllSlice(
+                    neighbors=jnp.asarray(neigh), start=int(s), n_real=h
+                )
+            )
+        return BucketedEll(
+            slices=tuple(slices),
             n_nodes=self.n,
             n_edges=self.n_edges,
             max_degree=self.max_degree,
@@ -222,3 +333,81 @@ class EllGraph:
     def neighbor_mask(self) -> "jnp.ndarray":
         """(n_pad, d_pad) bool — True where a real neighbor is stored."""
         return self.neighbors < jnp.int32(self.n_pad)
+
+
+# ---------------------------------------------------------------------------
+# degree-bucketed ELL: per-degree-class neighbor rectangles
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class EllSlice:
+    """One degree-class rectangle of a `BucketedEll`.
+
+    ``neighbors[r, k]`` holds the PADDED-GLOBAL position of the k-th
+    neighbor of the vertex at padded-global position ``start + r`` — or the
+    sentinel (the total padded vertex count) in padding slots.  Rows past
+    ``n_real`` are phantom."""
+
+    neighbors: "jnp.ndarray"     # (h_pad, d_b) int32
+    start: int = dataclasses.field(metadata=dict(static=True))
+    n_real: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def h_pad(self) -> int:
+        return self.neighbors.shape[0]
+
+    @property
+    def d_pad(self) -> int:
+        return self.neighbors.shape[1]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BucketedEll:
+    """Degree-bucketed device adjacency (PERF.md roadmap item 5).
+
+    A flat ELL pads every row to the global max degree, so one sweep
+    gathers n·d_max neighbor colors; on skewed-degree graphs
+    (Barabási–Albert, most real-world networks) that is 10-100x more than
+    the 2m real entries.  Here vertices are relabeled by ascending degree
+    (`Graph.degree_relabel`) and grouped into a few contiguous degree
+    classes, each packed into its own rectangle padded to the class width —
+    the gather volume drops to Σ_b h_b·d_b ≈ 2m while every rectangle keeps
+    the static shape XLA/Mosaic need.  Node-indexed vectors (colors, taboo,
+    uniforms) span the concatenation of the padded buckets."""
+
+    slices: tuple[EllSlice, ...]
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))
+    n_edges: int = dataclasses.field(metadata=dict(static=True))
+    max_degree: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_pad(self) -> int:
+        last = self.slices[-1]
+        return last.start + last.h_pad
+
+    @property
+    def node_mask(self) -> "jnp.ndarray":
+        """(n_pad,) bool — True for real vertices (interleaved: each
+        bucket carries its own phantom tail)."""
+        return jnp.concatenate(
+            [
+                jnp.arange(s.h_pad, dtype=jnp.int32) < jnp.int32(s.n_real)
+                for s in self.slices
+            ]
+        )
+
+    @property
+    def gather_elements(self) -> int:
+        """Neighbor-color elements one full sweep gathers (the cost a flat
+        ELL would pay is n_pad · max_degree_padded)."""
+        return sum(s.h_pad * s.d_pad for s in self.slices)
+
+    def real_positions(self) -> np.ndarray:
+        """(n_nodes,) padded-global position of each (relabeled) vertex id
+        — use to read per-vertex results out of padded vectors."""
+        return np.concatenate(
+            [s.start + np.arange(s.n_real, dtype=np.int64) for s in self.slices]
+        )

@@ -81,6 +81,12 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_double,
             ctypes.c_uint64,
         ]
+        lib.mc_generate_ba.restype = ctypes.c_void_p
+        lib.mc_generate_ba.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_uint64,
+        ]
         _lib = lib
         return _lib
 
@@ -141,6 +147,35 @@ def generate_er(n: int, p: float, seed: int = 0, name: str | None = None) -> Gra
         row_ptr=row_ptr,
         cols=cols,
         name=name or f"er_{n}_{p}",
+    )
+
+
+def generate_ba(
+    n: int, m_per_node: int, seed: int = 0, name: str | None = None
+) -> Graph:
+    """In-memory native Barabási–Albert(n, m) → CSR (no names)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    h = lib.mc_generate_ba(n, m_per_node, seed)
+    try:
+        nn = lib.mc_n(h)
+        if nn < 0:
+            raise ValueError(lib.mc_error(h).decode())
+        nnz = lib.mc_nnz(h)
+        row_ptr = np.ctypeslib.as_array(
+            lib.mc_row_ptr(h), shape=(nn + 1,)
+        ).copy()
+        cols = np.ctypeslib.as_array(lib.mc_cols(h), shape=(max(nnz, 1),))[
+            :nnz
+        ].copy()
+    finally:
+        lib.mc_free(h)
+    return Graph(
+        n=int(nn),
+        row_ptr=row_ptr,
+        cols=cols,
+        name=name or f"ba_{n}_{m_per_node}",
     )
 
 

@@ -208,9 +208,15 @@ class MCMCColorer:
         params: MCMCParams,
         block_size: int | None = None,
         backend: str = "auto",
+        layout: str = "flat",
     ) -> None:
         """``backend``: 'pallas' (fused kernel, TPU), 'xla' (portable
-        reference path), or 'auto' (pallas on TPU, xla elsewhere)."""
+        reference path), or 'auto' (pallas on TPU, xla elsewhere).
+
+        ``layout``: 'flat' (one ELL rectangle padded to max degree) or
+        'bucketed' (degree-relabeled per-class rectangles — 10-100x less
+        gather volume on skewed-degree graphs; see
+        graph/container.py:BucketedEll)."""
         self.graph = graph
         self.params = params
         self.block = block_size or choose_block_size(graph.n, params.n_colors)
@@ -221,12 +227,33 @@ class MCMCColorer:
                 else "xla"
             )
         self.backend = backend
+        self.layout = layout
         from mcmc_colorer_tpu.graph.container import degree_pad_for
 
-        self.ell = graph.to_ell(
-            pad_nodes_to=self.block,
-            pad_degree_to=degree_pad_for(graph, backend),
-        )
+        if layout == "bucketed":
+            if params.hastings:
+                raise NotImplementedError(
+                    "hastings + bucketed layout not supported yet"
+                )
+            self.block = min(self.block, 2048)
+            g2, perm = graph.degree_relabel()
+            self._perm = perm
+            # bucket heights round to 128 rows (not the sweep block) so
+            # phantom padding stays bounded; sweeps fall back to 128-row
+            # blocks when a slice height is not a block multiple
+            self.ell = g2.to_ell_bucketed(
+                block=128,
+                min_lane=128 if backend == "pallas" else 8,
+            )
+            self._pos = self.ell.real_positions()
+        elif layout == "flat":
+            self._perm = None
+            self.ell = graph.to_ell(
+                pad_nodes_to=self.block,
+                pad_degree_to=degree_pad_for(graph, backend),
+            )
+        else:
+            raise ValueError(f"unknown layout {layout!r}")
         self._jit_run = jax.jit(
             partial(
                 _run_chain, params=params, block=self.block, backend=backend
@@ -241,7 +268,12 @@ class MCMCColorer:
         colors, rip, conflicts, trace, tailcut_rounds = self._jit_run(
             self.ell, key
         )
-        colors = np.asarray(jax.device_get(colors))[: self.graph.n]
+        if self._perm is not None:
+            padded = np.asarray(jax.device_get(colors))
+            colors = np.empty(self.graph.n, np.int32)
+            colors[self._perm] = padded[self._pos]
+        else:
+            colors = np.asarray(jax.device_get(colors))[: self.graph.n]
         dur = (time.perf_counter() - t0) * 1e3
         rip = int(rip)
         return Coloring(
@@ -279,6 +311,43 @@ def _conflict_edges(ell: EllGraph, colors: jnp.ndarray) -> jnp.ndarray:
     self_ids = jnp.arange(ell.n_pad, dtype=jnp.int32)[:, None]
     same = (nc == colors[:, None]) & (ell.neighbors > self_ids)
     return jnp.sum(same, dtype=jnp.int32)
+
+
+# ----------------------- degree-bucketed layout path -----------------------
+# Per-degree-class rectangles (graph/container.py:BucketedEll): each helper
+# below is the bucketed rendition of its flat counterpart — a python loop
+# over the (few, static) slices, each slice processed exactly like the flat
+# ELL but at its own lane width, results concatenated in padded-global
+# order.  Cuts the dominant neighbor-color gather from n·d_max to ~2m
+# elements on skewed-degree graphs (PERF.md roadmap item 5).
+
+
+def _is_bucketed(ell) -> bool:
+    from mcmc_colorer_tpu.graph.container import BucketedEll
+
+    return isinstance(ell, BucketedEll)
+
+
+def _slice_vec(x: jnp.ndarray, start: int, size: int) -> jnp.ndarray:
+    return jax.lax.slice(x, (start,), (start + size,))
+
+
+def _conflict_edges_bucketed(bell, colors: jnp.ndarray) -> jnp.ndarray:
+    colors_ext = jnp.concatenate([colors, jnp.full((1,), -1, jnp.int32)])
+    total = jnp.int32(0)
+    for s in bell.slices:
+        nc = jnp.take(colors_ext, s.neighbors, axis=0)
+        own = _slice_vec(colors, s.start, s.h_pad)
+        gids = s.start + jnp.arange(s.h_pad, dtype=jnp.int32)
+        same = (nc == own[:, None]) & (s.neighbors > gids[:, None])
+        total = total + jnp.sum(same, dtype=jnp.int32)
+    return total
+
+
+def _conflict_edges_any(ell, colors):
+    if _is_bucketed(ell):
+        return _conflict_edges_bucketed(ell, colors)
+    return _conflict_edges(ell, colors)
 
 
 def _init_colors(ell: EllGraph, params: MCMCParams, key) -> jnp.ndarray:
@@ -463,6 +532,142 @@ def _sweep(
     )
 
 
+def _sweep_bucketed(
+    bell,
+    params: MCMCParams,
+    block: int,
+    colors: jnp.ndarray,
+    taboo: jnp.ndarray,
+    unif: jnp.ndarray,
+    p_eff: jnp.ndarray | None,
+    eps: jnp.ndarray | None = None,
+):
+    """Bucketed `_sweep`: per degree-class rectangle, blocks gathered at the
+    class's own lane width."""
+    n_colors = params.n_colors
+    stars, taboos, logq = [], [], jnp.float32(0)
+    for s in bell.slices:
+        h = s.h_pad
+        blk = block if h % block == 0 else 128
+        cur_s = _slice_vec(colors, s.start, h)
+        tb_s = _slice_vec(taboo, s.start, h)
+        u_s = _slice_vec(unif, s.start, h)
+        real_s = jnp.arange(h, dtype=jnp.int32) < jnp.int32(s.n_real)
+
+        def block_fn(xs):
+            neigh_blk, cur_blk, taboo_blk, unif_blk, real_blk = xs
+            nc = neighbor_colors(neigh_blk, colors)
+            occ = occupancy_matrix(nc, n_colors)
+            q = _proposal_q(cur_blk, occ, params, p_eff, eps=eps)
+            chosen = _sample_cdf(q, unif_blk)
+            qstar = jnp.take_along_axis(q, chosen[:, None], axis=1)[:, 0]
+            taboo_active = taboo_blk > 0
+            keep_prob = jnp.float32(1.0 - (n_colors - 1) * params.epsilon)
+            chosen = jnp.where(taboo_active, cur_blk, chosen)
+            qstar = jnp.where(taboo_active, keep_prob, qstar)
+            new_taboo = jnp.where(
+                taboo_active,
+                taboo_blk - 1,
+                jnp.where(
+                    chosen == cur_blk,
+                    jnp.int32(params.taboo_iterations),
+                    0,
+                ),
+            )
+            chosen = jnp.where(real_blk, chosen, cur_blk)
+            qstar = jnp.where(real_blk, qstar, 1.0)
+            return chosen, new_taboo, jnp.sum(
+                jnp.log(jnp.maximum(qstar, 1e-30))
+            )
+
+        star_b, taboo_b, logq_b = _map_blocks(
+            block_fn, h // blk, blk, s.neighbors, cur_s, tb_s, u_s, real_s
+        )
+        stars.append(star_b.reshape(h))
+        taboos.append(taboo_b.reshape(h))
+        logq = logq + jnp.sum(logq_b)
+    return jnp.concatenate(stars), jnp.concatenate(taboos), logq
+
+
+def _sweep_pallas_fused_bucketed(
+    bell,
+    params: MCMCParams,
+    block: int,
+    colors: jnp.ndarray,
+    taboo: jnp.ndarray,
+    unif: jnp.ndarray,
+    p_eff: jnp.ndarray | None,
+    eps: jnp.ndarray | None = None,
+):
+    """Bucketed `_sweep_pallas_fused`: one kernel launch per degree-class
+    rectangle (each shape compiles once), conflict counts summed — still
+    exactly one neighbor-color gather per slice per iteration."""
+    from mcmc_colorer_tpu.ops.pallas_resample import pallas_sweep
+
+    p_eff_arr = (
+        p_eff
+        if p_eff is not None
+        else jnp.zeros((params.n_colors,), jnp.float32)
+    )
+    eps_arr = jnp.float32(params.epsilon) if eps is None else eps
+    stars, taboos = [], []
+    logq = jnp.float32(0)
+    conf = jnp.int32(0)
+    for s in bell.slices:
+        h = s.h_pad
+        cur_s = _slice_vec(colors, s.start, h)
+        tb_s = _slice_vec(taboo, s.start, h)
+        u_s = _slice_vec(unif, s.start, h)
+        real_s = jnp.arange(h, dtype=jnp.int32) < jnp.int32(s.n_real)
+        nc = neighbor_colors(s.neighbors, colors)
+        gids = s.start + jnp.arange(h, dtype=jnp.int32)
+        star, qstar, new_tb, conf_s = pallas_sweep(
+            nc,
+            s.neighbors,
+            cur_s,
+            tb_s,
+            u_s,
+            p_eff_arr,
+            eps_arr,
+            params=params,
+            block=min(block, 128),
+            self_ids=gids,
+        )
+        star = jnp.where(real_s, star, cur_s)
+        qstar = jnp.where(real_s, qstar, 1.0)
+        new_tb = jnp.where(real_s, new_tb, 0)
+        stars.append(star)
+        taboos.append(new_tb)
+        logq = logq + jnp.sum(jnp.log(jnp.maximum(qstar, 1e-30)))
+        conf = conf + conf_s
+    return (
+        jnp.concatenate(stars),
+        jnp.concatenate(taboos),
+        logq,
+        conf,
+    )
+
+
+def _sweep_any(ell, params, block, colors, taboo, unif, p_eff, eps=None):
+    if _is_bucketed(ell):
+        return _sweep_bucketed(
+            ell, params, block, colors, taboo, unif, p_eff, eps
+        )
+    return _sweep(ell, params, block, colors, taboo, unif, p_eff, eps)
+
+
+def _sweep_pallas_fused_any(
+    ell, params, block, colors, taboo, unif, p_eff, eps=None
+):
+    if _is_bucketed(ell):
+        return _sweep_pallas_fused_bucketed(
+            ell, params, block, colors, taboo, unif, p_eff, eps
+        )
+    return _sweep_pallas_fused(
+        ell, params, block, colors, taboo, unif, p_eff, eps
+    )
+
+
 def _reverse_logq(
     ell: EllGraph,
     params: MCMCParams,
@@ -625,6 +830,137 @@ def _tailcut(
     colors_out = jnp.where(ell.node_mask, colors_out, jnp.int32(n_colors))
     return colors_out, conflicts, rounds
 
+def _tailcut_bucketed(
+    bell,
+    colors: jnp.ndarray,
+    conflicts: jnp.ndarray,
+    key,
+    *,
+    params: MCMCParams,
+    block: int,
+):
+    """Bucketed `_tailcut`: same rank-space independent-set greedy, with
+    the per-round occupancy/first-fit and the movable-neighbor check done
+    per degree-class rectangle."""
+    n_colors = params.n_colors
+    hist = color_histogram(colors, n_colors, bell.node_mask)
+    ordered = jnp.argsort(hist).astype(jnp.int32)
+    rank = jnp.zeros((n_colors,), jnp.int32).at[ordered].set(
+        jnp.arange(n_colors, dtype=jnp.int32)
+    )
+    rank_ext = jnp.concatenate([rank, jnp.full((1,), n_colors, jnp.int32)])
+    colors_r = jnp.take(rank_ext, jnp.clip(colors, 0, n_colors), axis=0)
+    colors_r = jnp.where(bell.node_mask, colors_r, jnp.int32(n_colors))
+
+    use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    max_rounds = jnp.int32(bell.n_nodes + 1000)
+    node_mask = bell.node_mask
+
+    def first_free_slice(nc_r, blk):
+        if use_pallas:
+            from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_first_fit
+
+            return pallas_first_fit(
+                nc_r,
+                jnp.ones((n_colors,), jnp.int32),
+                n_colors=n_colors,
+                block=min(blk, 128),
+            )
+        h = nc_r.shape[0]
+
+        def block_fn(xs):
+            (nc_blk,) = xs
+            occ = occupancy_matrix(nc_blk, n_colors)
+            found = jnp.any(~occ, axis=1)
+            k = jnp.argmax(~occ, axis=1).astype(jnp.int32)
+            return jnp.where(found, k, -1)
+
+        out = _map_blocks(block_fn, h // blk, blk, nc_r)
+        return out.reshape(h)
+
+    def body(carry):
+        cols_r, conf, rounds, _ = carry
+        cols_ext = jnp.concatenate(
+            [cols_r, jnp.full((1,), -1, jnp.int32)]
+        )
+        conf = jnp.int32(0)
+        flags_p, cand_p = [], []
+        ncs = []
+        for s in bell.slices:
+            nc_r = jnp.take(cols_ext, s.neighbors, axis=0)
+            ncs.append(nc_r)
+            own = _slice_vec(cols_r, s.start, s.h_pad)
+            gids = s.start + jnp.arange(s.h_pad, dtype=jnp.int32)
+            conf = conf + jnp.sum(
+                (nc_r == own[:, None]) & (s.neighbors > gids[:, None]),
+                dtype=jnp.int32,
+            )
+            real_s = jnp.arange(s.h_pad, dtype=jnp.int32) < jnp.int32(
+                s.n_real
+            )
+            flags_p.append(
+                jnp.any(nc_r == own[:, None], axis=1) & real_s
+            )
+            blk = block if s.h_pad % block == 0 else 128
+            cand_p.append(first_free_slice(nc_r, blk))
+        flags = jnp.concatenate(flags_p)
+        cand_r = jnp.concatenate(cand_p)
+        movable = flags & (cand_r >= 0)
+        movable_ext = jnp.concatenate(
+            [movable, jnp.zeros((1,), jnp.bool_)]
+        )
+        lower_p = []
+        for s in bell.slices:
+            gids = s.start + jnp.arange(s.h_pad, dtype=jnp.int32)
+            lower_p.append(
+                jnp.any(
+                    jnp.take(movable_ext, s.neighbors, axis=0)
+                    & (s.neighbors < gids[:, None]),
+                    axis=1,
+                )
+            )
+        lower_movable = jnp.concatenate(lower_p)
+        active = movable & ~lower_movable
+        stalled = (conf > 0) & ~jnp.any(active)
+        rnd = jax.random.randint(
+            jax.random.fold_in(key, rounds),
+            (bell.n_pad,),
+            0,
+            n_colors,
+            dtype=jnp.int32,
+        )
+        new_r = jnp.where(
+            active, cand_r, jnp.where(stalled & flags, rnd, cols_r)
+        )
+        return new_r, conf, rounds + 1, conf == 0
+
+    def cond(carry):
+        _, conf, rounds, done = carry
+        return (~done) & (rounds < max_rounds)
+
+    colors_r, conflicts, rounds, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (colors_r, conflicts, jnp.int32(0), jnp.bool_(False)),
+    )
+    ordered_ext = jnp.concatenate(
+        [ordered, jnp.full((1,), n_colors, jnp.int32)]
+    )
+    colors_out = jnp.take(
+        ordered_ext, jnp.clip(colors_r, 0, n_colors), axis=0
+    )
+    colors_out = jnp.where(node_mask, colors_out, jnp.int32(n_colors))
+    return colors_out, conflicts, rounds
+
+
+def _tailcut_any(ell, colors, conflicts, key, *, params, block):
+    if _is_bucketed(ell):
+        return _tailcut_bucketed(
+            ell, colors, conflicts, key, params=params, block=block
+        )
+    return _tailcut(ell, colors, conflicts, key, params=params, block=block)
+
+
 def _run_chain(
     ell: EllGraph,
     key,
@@ -646,7 +982,7 @@ def _run_chain(
     key, k_init = jax.random.split(key)
     colors0 = _init_colors(ell, params, k_init)
     taboo0 = jnp.zeros((n_pad,), jnp.int32)
-    conflicts0 = _conflict_edges(ell, colors0)
+    conflicts0 = _conflict_edges_any(ell, colors0)
     trace0 = jnp.full((params.max_iterations + 1,), -1, jnp.int32)
     trace0 = trace0.at[0].set(conflicts0)
 
@@ -663,11 +999,15 @@ def _run_chain(
         else:
             hist = None
         p_eff = _variant_distribution(params, hist, ell.n_nodes)
-        sweep_fn = _sweep_pallas if backend == "pallas" else _sweep
-        star, new_taboo, logq_star = sweep_fn(
-            ell, params, block, colors, taboo, unif, p_eff
-        )
-        conflicts_star = _conflict_edges(ell, star)
+        if backend == "pallas":
+            star, new_taboo, logq_star, _conf = _sweep_pallas_fused_any(
+                ell, params, block, colors, taboo, unif, p_eff
+            )
+        else:
+            star, new_taboo, logq_star = _sweep_any(
+                ell, params, block, colors, taboo, unif, p_eff
+            )
+        conflicts_star = _conflict_edges_any(ell, star)
         if params.hastings:
             logq_old = _reverse_logq(ell, params, block, colors, star)
             # acceptance ratio exp(−λ·ΔConflicts + (p − pStar))
@@ -705,7 +1045,7 @@ def _run_chain(
 
     if params.tailcut:
         key, k_tc = jax.random.split(key)
-        colors, conflicts, tc_rounds = _tailcut(
+        colors, conflicts, tc_rounds = _tailcut_any(
             ell, colors, conflicts, k_tc, params=params, block=block
         )
     else:
@@ -740,7 +1080,7 @@ def _run_chain_fused(ell: EllGraph, key, *, params: MCMCParams, block: int):
         else:
             hist = None
         p_eff = _variant_distribution(params, hist, ell.n_nodes)
-        star, new_taboo, _logq, conf_cur = _sweep_pallas_fused(
+        star, new_taboo, _logq, conf_cur = _sweep_pallas_fused_any(
             ell, params, block, colors, taboo, unif, p_eff
         )
         done_now = conf_cur <= z
@@ -768,11 +1108,11 @@ def _run_chain_fused(ell: EllGraph, key, *, params: MCMCParams, block: int):
     conflicts = jax.lax.cond(
         done,
         lambda: conf_last,
-        lambda: _conflict_edges(ell, colors),
+        lambda: _conflict_edges_any(ell, colors),
     )
     if params.tailcut:
         key, k_tc = jax.random.split(key)
-        colors, conflicts, tc_rounds = _tailcut(
+        colors, conflicts, tc_rounds = _tailcut_any(
             ell, colors, conflicts, k_tc, params=params, block=block
         )
     else:

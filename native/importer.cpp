@@ -50,6 +50,29 @@ inline bool is_sep(char c) {
   return c == ' ' || c == '\t' || c == ',' || c == '\r';
 }
 
+// Counting-sort CSR build with both edge directions inserted (the tail of
+// every generator; mirrors Graph.from_edges).
+void build_csr(GraphHandle* h, const std::vector<int32_t>& src,
+               const std::vector<int32_t>& dst) {
+  const int64_t n = h->n;
+  std::vector<int64_t> deg(static_cast<size_t>(n), 0);
+  for (size_t k = 0; k < src.size(); ++k) {
+    ++deg[static_cast<size_t>(src[k])];
+    ++deg[static_cast<size_t>(dst[k])];
+  }
+  h->row_ptr.assign(static_cast<size_t>(n) + 1, 0);
+  for (int64_t i = 0; i < n; ++i)
+    h->row_ptr[static_cast<size_t>(i) + 1] =
+        h->row_ptr[static_cast<size_t>(i)] + deg[static_cast<size_t>(i)];
+  h->cols.assign(static_cast<size_t>(h->row_ptr[static_cast<size_t>(n)]), 0);
+  std::vector<int64_t> cursor(h->row_ptr.begin(), h->row_ptr.end() - 1);
+  for (size_t k = 0; k < src.size(); ++k) {
+    int32_t a = src[k], b = dst[k];
+    h->cols[static_cast<size_t>(cursor[static_cast<size_t>(a)]++)] = b;
+    h->cols[static_cast<size_t>(cursor[static_cast<size_t>(b)]++)] = a;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -106,23 +129,8 @@ void* mc_import(const char* path) {
 
   const int64_t n = static_cast<int64_t>(h->names.size());
   h->n = n;
-  // degree count with both directions (reverse edge added, graphCPU.cpp:122-134)
-  std::vector<int64_t> deg(static_cast<size_t>(n), 0);
-  for (size_t k = 0; k < src.size(); ++k) {
-    ++deg[static_cast<size_t>(src[k])];
-    ++deg[static_cast<size_t>(dst[k])];
-  }
-  h->row_ptr.assign(static_cast<size_t>(n) + 1, 0);
-  for (int64_t i = 0; i < n; ++i)
-    h->row_ptr[static_cast<size_t>(i) + 1] =
-        h->row_ptr[static_cast<size_t>(i)] + deg[static_cast<size_t>(i)];
-  h->cols.assign(static_cast<size_t>(h->row_ptr[static_cast<size_t>(n)]), 0);
-  std::vector<int64_t> cursor(h->row_ptr.begin(), h->row_ptr.end() - 1);
-  for (size_t k = 0; k < src.size(); ++k) {
-    int32_t a = src[k], b = dst[k];
-    h->cols[static_cast<size_t>(cursor[static_cast<size_t>(a)]++)] = b;
-    h->cols[static_cast<size_t>(cursor[static_cast<size_t>(b)]++)] = a;
-  }
+  // reverse edges added during the CSR build (graphCPU.cpp:122-134)
+  build_csr(h, src, dst);
   return h;
 }
 
@@ -191,22 +199,61 @@ void* mc_generate_er(int64_t n, double p, uint64_t seed) {
       dst.push_back(static_cast<int32_t>(j));
     }
   }
-  std::vector<int64_t> deg(static_cast<size_t>(n), 0);
-  for (size_t k = 0; k < src.size(); ++k) {
-    ++deg[static_cast<size_t>(src[k])];
-    ++deg[static_cast<size_t>(dst[k])];
+  build_csr(h, src, dst);
+  return h;
+}
+
+// Barabasi-Albert preferential attachment -> CSR: each new vertex draws m
+// distinct targets uniformly from the stub list (degree-proportional),
+// same algorithm as graph/generate.py:barabasi_albert but O(n*m) without
+// the interpreter overhead (the numpy path stays as fallback).
+void* mc_generate_ba(int64_t n, int64_t m, uint64_t seed) {
+  auto* h = new GraphHandle();
+  h->n = n;
+  if (m < 1 || n <= m) {
+    h->n = -1;
+    h->err = "need n > m_per_node >= 1";
+    return h;
   }
-  h->row_ptr.assign(static_cast<size_t>(n) + 1, 0);
-  for (int64_t i = 0; i < n; ++i)
-    h->row_ptr[static_cast<size_t>(i) + 1] =
-        h->row_ptr[static_cast<size_t>(i)] + deg[static_cast<size_t>(i)];
-  h->cols.assign(static_cast<size_t>(h->row_ptr[static_cast<size_t>(n)]), 0);
-  std::vector<int64_t> cursor(h->row_ptr.begin(), h->row_ptr.end() - 1);
-  for (size_t k = 0; k < src.size(); ++k) {
-    int32_t a = src[k], b = dst[k];
-    h->cols[static_cast<size_t>(cursor[static_cast<size_t>(a)]++)] = b;
-    h->cols[static_cast<size_t>(cursor[static_cast<size_t>(b)]++)] = a;
+  std::mt19937_64 eng(seed);
+  const int64_t m0 = m + 1;
+  const int64_t n_edges = m0 * (m0 - 1) / 2 + (n - m0) * m;
+  std::vector<int32_t> src, dst, stubs;
+  src.reserve(static_cast<size_t>(n_edges));
+  dst.reserve(static_cast<size_t>(n_edges));
+  stubs.reserve(static_cast<size_t>(2 * n_edges + m0));
+  for (int64_t v = 0; v < m0; ++v)
+    stubs.push_back(static_cast<int32_t>(v));
+  for (int64_t v = 0; v < m0; ++v)
+    for (int64_t w = v + 1; w < m0; ++w) {
+      src.push_back(static_cast<int32_t>(v));
+      dst.push_back(static_cast<int32_t>(w));
+      stubs.push_back(static_cast<int32_t>(v));
+      stubs.push_back(static_cast<int32_t>(w));
+    }
+  std::vector<int32_t> targets;
+  targets.reserve(static_cast<size_t>(m));
+  for (int64_t v = m0; v < n; ++v) {
+    targets.clear();
+    std::uniform_int_distribution<size_t> pick(0, stubs.size() - 1);
+    while (static_cast<int64_t>(targets.size()) < m) {
+      const int32_t t = stubs[pick(eng)];
+      bool dup = false;
+      for (int32_t x : targets)
+        if (x == t) {
+          dup = true;
+          break;
+        }
+      if (!dup) targets.push_back(t);
+    }
+    for (int32_t t : targets) {
+      src.push_back(static_cast<int32_t>(v));
+      dst.push_back(t);
+      stubs.push_back(static_cast<int32_t>(v));
+      stubs.push_back(t);
+    }
   }
+  build_csr(h, src, dst);
   return h;
 }
 

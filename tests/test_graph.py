@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -168,3 +169,78 @@ def test_real_world_like_pipeline(tmp_path):
         seed=5
     )
     assert check_coloring(g, r.colors)
+
+
+# ---------------------- degree-bucketed ELL layout -------------------------
+
+
+def test_degree_relabel_roundtrip():
+    from mcmc_colorer_tpu.graph.generate import barabasi_albert
+
+    g = barabasi_albert(500, 4, seed=2, use_native=False)
+    g2, perm = g.degree_relabel()
+    g2.validate()
+    assert np.array_equal(np.sort(g.degrees), g2.degrees)
+    # adjacency preserved under the relabeling
+    inv = np.empty(g.n, np.int64)
+    inv[perm] = np.arange(g.n)
+    for v in (0, 13, 200, 499):
+        want = sorted(inv[g.neighbors_of(v)].tolist())
+        got = sorted(g2.neighbors_of(int(inv[v])).tolist())
+        assert want == got
+
+
+def test_bucketed_ell_structure():
+    from mcmc_colorer_tpu.graph.generate import barabasi_albert
+
+    g = barabasi_albert(2000, 8, seed=1, use_native=False)
+    g2, _ = g.degree_relabel()
+    bell = g2.to_ell_bucketed(block=128, min_lane=8)
+    assert int(bell.node_mask.sum()) == g.n
+    # widths ascend, heights are block multiples, sentinel is global n_pad
+    widths = [s.d_pad for s in bell.slices]
+    assert widths == sorted(widths)
+    for s in bell.slices:
+        assert s.h_pad % 128 == 0
+        assert int(jnp.max(s.neighbors)) <= bell.n_pad
+    # every real row holds exactly its neighbors
+    pos = bell.real_positions()
+    inv_pos = np.full(bell.n_pad + 1, -1, np.int64)
+    inv_pos[pos] = np.arange(g2.n)
+    for v in (0, 77, 1500, 1999):
+        p = int(pos[v])
+        s = next(
+            s for s in bell.slices if s.start <= p < s.start + s.h_pad
+        )
+        row = np.asarray(s.neighbors)[p - s.start]
+        got = sorted(inv_pos[x] for x in row if x < bell.n_pad)
+        assert got == sorted(g2.neighbors_of(v).tolist())
+
+
+def test_bucketed_saves_gather_volume_on_skewed():
+    from mcmc_colorer_tpu.graph.generate import barabasi_albert
+
+    g = barabasi_albert(5000, 8, seed=3, use_native=False)
+    g2, _ = g.degree_relabel()
+    bell = g2.to_ell_bucketed(block=128, min_lane=8)
+    flat = g.to_ell().neighbors.size
+    assert bell.gather_elements < flat / 3
+
+
+def test_native_ba_matches_numpy_semantics():
+    """Native and numpy BA draw different streams but identical structure:
+    same edge count, connected preferential-attachment shape."""
+    from mcmc_colorer_tpu.graph import native as native_mod
+    from mcmc_colorer_tpu.graph.generate import barabasi_albert
+
+    if not native_mod.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    gn = barabasi_albert(3000, 8, seed=2, use_native=True)
+    gf = barabasi_albert(3000, 8, seed=2, use_native=False)
+    gn.validate()
+    assert gn.n_edges == gf.n_edges == 9 * 8 // 2 + (3000 - 9) * 8
+    # degree-proportional attachment -> heavy tail in both
+    assert gn.max_degree > 4 * gn.mean_degree
+    assert gf.max_degree > 4 * gf.mean_degree

@@ -191,3 +191,71 @@ def test_sequential_and_tpu_agree_statistically(small_er):
     assert abs(seq.used_colors - par.used_colors) <= max(
         5, 0.4 * max(seq.used_colors, par.used_colors)
     )
+
+
+# ------------------------ degree-bucketed layout ---------------------------
+
+
+def test_bucketed_layout_converges(medium_er):
+    p = _params(
+        max(2, medium_er.max_degree),
+        proposal=ProposalKind.BALANCE_DYNAMIC,
+        tailcut=True,
+    )
+    r = MCMCColorer(medium_er, p, layout="bucketed").run(seed=7)
+    assert check_coloring(medium_er, r.colors)
+    assert r.extra["final_conflicts"] == 0
+
+
+def test_bucketed_layout_tailcut(small_er):
+    """Small palette forces the chain into the bucketed tailcut epilogue;
+    it must terminate and not worsen the conflicts."""
+    p = _params(
+        max(2, small_er.max_degree // 2),
+        proposal=ProposalKind.BALANCE_DYNAMIC,
+        tailcut=True,
+    )
+    r = MCMCColorer(small_er, p, layout="bucketed").run(seed=5)
+    assert r.extra["final_conflicts"] <= r.conflict_trace[0]
+    assert (r.colors >= 0).all() and (r.colors < p.n_colors).all()
+
+
+def test_bucketed_layout_skewed_graph():
+    """Barabási–Albert degrees span two orders of magnitude — the case the
+    bucketed layout exists for.  It must color correctly and gather far
+    fewer elements than the flat rectangle would."""
+    from mcmc_colorer_tpu.graph.generate import barabasi_albert
+
+    g = barabasi_albert(2000, 8, seed=1)
+    p = _params(
+        max(2, g.max_degree), proposal=ProposalKind.BALANCE_DYNAMIC
+    )
+    c = MCMCColorer(g, p, layout="bucketed")
+    r = c.run(seed=3)
+    assert check_coloring(g, r.colors)
+    assert r.extra["final_conflicts"] == 0
+    flat_elems = c.ell.n_pad * g.max_degree
+    assert c.ell.gather_elements < flat_elems / 2
+
+
+def test_bucketed_matches_flat_statistically(medium_er):
+    """Same dynamics, different vertex order: used-color counts and final
+    class-size spread must agree within Monte-Carlo noise across seeds."""
+    import numpy as np
+
+    p = _params(
+        max(2, medium_er.max_degree), proposal=ProposalKind.BALANCE_DYNAMIC
+    )
+    flat = [
+        MCMCColorer(medium_er, p).run(seed=s).class_stats()["std"]
+        for s in range(3)
+    ]
+    buck = [
+        MCMCColorer(medium_er, p, layout="bucketed")
+        .run(seed=s)
+        .class_stats()["std"]
+        for s in range(3)
+    ]
+    assert abs(np.mean(flat) - np.mean(buck)) < 4 * (
+        np.std(flat) + np.std(buck) + 0.2
+    )
