@@ -231,10 +231,6 @@ class MCMCColorer:
         from mcmc_colorer_tpu.graph.container import degree_pad_for
 
         if layout == "bucketed":
-            if params.hastings:
-                raise NotImplementedError(
-                    "hastings + bucketed layout not supported yet"
-                )
             self.block = min(self.block, 2048)
             g2, perm = graph.degree_relabel()
             self._perm = perm
@@ -719,6 +715,70 @@ def _reverse_logq(
     return jnp.sum(logq_b)
 
 
+def _reverse_logq_bucketed(
+    bell,
+    params: MCMCParams,
+    block: int,
+    colors: jnp.ndarray,
+    star: jnp.ndarray,
+):
+    """Bucketed `_reverse_logq` (lookOldColoring): occupancy of the STAR
+    coloring per degree-class rectangle."""
+    n_colors = params.n_colors
+    eps = jnp.float32(params.epsilon)
+    total = jnp.float32(0)
+    for s in bell.slices:
+        h = s.h_pad
+        blk = block if h % block == 0 else 128
+        cur_s = _slice_vec(colors, s.start, h)
+        star_s = _slice_vec(star, s.start, h)
+        real_s = jnp.arange(h, dtype=jnp.int32) < jnp.int32(s.n_real)
+
+        def block_fn(xs):
+            neigh_blk, cur_blk, star_blk, real_blk = xs
+            nc = neighbor_colors(neigh_blk, star)
+            occ = occupancy_matrix(nc, n_colors)
+            zn = jnp.sum(occ, axis=1, dtype=jnp.int32)
+            zp = jnp.int32(n_colors) - zn
+            occ_star = jnp.take_along_axis(
+                occ, star_blk[:, None], axis=1
+            )[:, 0]
+            occ_cur = jnp.take_along_axis(
+                occ, cur_blk[:, None], axis=1
+            )[:, 0]
+            move_q = jnp.where(
+                occ_cur,
+                eps,
+                (1.0 - eps * zn.astype(jnp.float32))
+                / jnp.maximum(zp, 1).astype(jnp.float32),
+            )
+            keep_q = jnp.where(
+                star_blk == cur_blk, 1.0 - (n_colors - 1) * eps, eps
+            )
+            q_old = jnp.where(occ_star, move_q, keep_q)
+            q_old = jnp.where(zp == 0, 1.0, q_old)
+            q_old = jnp.where(real_blk, q_old, 1.0)
+            return jnp.sum(jnp.log(jnp.maximum(q_old, 1e-30)))
+
+        logq_b = _map_blocks(
+            block_fn,
+            h // blk,
+            blk,
+            s.neighbors,
+            jnp.clip(cur_s, 0, n_colors - 1),
+            jnp.clip(star_s, 0, n_colors - 1),
+            real_s,
+        )
+        total = total + jnp.sum(logq_b)
+    return total
+
+
+def _reverse_logq_any(ell, params, block, colors, star):
+    if _is_bucketed(ell):
+        return _reverse_logq_bucketed(ell, params, block, colors, star)
+    return _reverse_logq(ell, params, block, colors, star)
+
+
 def _tailcut(
     ell: EllGraph,
     colors: jnp.ndarray,
@@ -1009,7 +1069,7 @@ def _run_chain(
             )
         conflicts_star = _conflict_edges_any(ell, star)
         if params.hastings:
-            logq_old = _reverse_logq(ell, params, block, colors, star)
+            logq_old = _reverse_logq_any(ell, params, block, colors, star)
             # acceptance ratio exp(−λ·ΔConflicts + (p − pStar))
             # (coloringMCMC_main.cu:250-253; gated here, unlike the
             # reference where the swap is unconditional — SURVEY §9.2)

@@ -79,16 +79,26 @@ def _cumsum_lanes(x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
 
 def _or_reduce_cols(x: jnp.ndarray) -> jnp.ndarray:
     """[B, d] int32 → [B, 1] bitwise-OR over columns via a halving tree
-    (Mosaic has no native OR-reduction)."""
+    (Mosaic has no native OR-reduction).
+
+    Odd widths fold the last column into the first BEFORE halving — the
+    halve-then-patch formulation emitted a zero-width slice whenever the
+    width reduced to exactly 3 (e.g. d = 3·2^k: 768, 24, ...), which the
+    interpreter tolerates but Mosaic rejects ("vector types must have
+    positive constant sizes")."""
     d = x.shape[1]
     while d > 1:
-        half = d // 2
-        y = jnp.bitwise_or(x[:, :half], x[:, half : 2 * half])
         if d % 2:
-            y = jnp.concatenate(
-                [jnp.bitwise_or(y[:, :1], x[:, -1:]), y[:, 1:]], axis=1
+            x = jnp.concatenate(
+                [
+                    jnp.bitwise_or(x[:, :1], x[:, d - 1 : d]),
+                    x[:, 1 : d - 1],
+                ],
+                axis=1,
             )
-        x = y
+            d -= 1
+        half = d // 2
+        x = jnp.bitwise_or(x[:, :half], x[:, half:d])
         d = half
     return x
 

@@ -108,3 +108,20 @@ def test_fused_chain_matches_xla_chain(medium_er):
     assert r_pal.extra["final_conflicts"] == 0
     assert r_xla.extra["final_conflicts"] == 0
     assert check_coloring(medium_er, r_pal.colors)
+
+
+def test_or_reduce_cols_all_widths():
+    """The halving OR-tree must be exact for every width — widths that
+    reduce to exactly 3 (24, 48, 768, ...) used to emit a zero-width
+    slice that real Mosaic rejects."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcmc_colorer_tpu.ops.pallas_resample import _or_reduce_cols
+
+    rng = np.random.default_rng(0)
+    for d in [1, 2, 3, 5, 6, 8, 12, 24, 48, 97, 128, 768, 2304]:
+        x = rng.integers(0, 2**31 - 1, size=(4, d), dtype=np.int32)
+        got = np.asarray(_or_reduce_cols(jnp.asarray(x)))
+        want = np.bitwise_or.reduce(x, axis=1, keepdims=True)
+        assert np.array_equal(got, want), d
