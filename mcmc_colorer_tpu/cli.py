@@ -211,6 +211,14 @@ def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
                 EnsembleMCMCColorer(g, params, n_chains=args.chains)
             )
         if args.active:
+            if args.layout == "bucketed":
+                print(
+                    "--active does not support --layout bucketed yet; "
+                    "use one or the other (the active colorer would build "
+                    "the flat max-degree rectangle, defeating the layout).",
+                    file=sys.stderr,
+                )
+                sys.exit(2)
             from mcmc_colorer_tpu.models.mcmc_active import ActiveMCMCColorer
 
             return ActiveMCMCColorer(g, params, backend=args.backend)

@@ -36,11 +36,16 @@ class GreedyFFColorer:
         active: bool = False,
         min_bucket: int = 128,
         bucket_factor: int = 4,
+        ell: EllGraph | None = None,
     ) -> None:
         """``active=True`` runs the frontier variant: after the first full
         pass only the conflict losers (the uncolored frontier, which decays
         geometrically) are re-gathered each round — the GFF rendition of the
-        active-set MCMC design (models/mcmc_active.py; PERF.md roadmap)."""
+        active-set MCMC design (models/mcmc_active.py; PERF.md roadmap).
+
+        ``ell``: prebuilt device layout to reuse (must match block/backend
+        padding) — avoids holding a second [n_pad, d_pad] rectangle when a
+        caller (VFF phase 1) already owns one."""
         self.graph = graph
         self.max_colors = graph.max_degree + 1
         self.block = block_size or choose_block_size(graph.n, self.max_colors)
@@ -54,7 +59,7 @@ class GreedyFFColorer:
         self.active = active
         from mcmc_colorer_tpu.graph.container import degree_pad_for
 
-        self.ell = graph.to_ell(
+        self.ell = ell if ell is not None else graph.to_ell(
             pad_nodes_to=max(self.block, 128),
             pad_degree_to=degree_pad_for(graph, backend),
         )
@@ -87,7 +92,7 @@ class GreedyFFColorer:
         device-resident full loop (same deterministic first-fit + lowest-id
         -wins rules), but each round gathers only |frontier|·d_pad neighbor
         colors instead of n·d_pad."""
-        from mcmc_colorer_tpu.models.mcmc_active import _buckets
+        from mcmc_colorer_tpu.models.mcmc_active import _buckets, pick_cap
 
         ell = self.ell
         caps = _buckets(ell.n_pad, self._min_bucket, self._bucket_factor)
@@ -97,7 +102,7 @@ class GreedyFFColorer:
         uncolored = self.graph.n
         rounds = 0
         while uncolored > 0:
-            cap = next(c for c in caps if c >= uncolored)
+            cap = pick_cap(caps, uncolored)
             colors, n_unc = self._round_fn(cap)(ell, colors, cap=cap)
             uncolored = int(n_unc)
             rounds += 1

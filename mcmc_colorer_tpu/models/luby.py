@@ -62,7 +62,7 @@ class LubyColorer:
         return self._jit_rounds[cap]
 
     def _run_active(self, key):
-        from mcmc_colorer_tpu.models.mcmc_active import _buckets
+        from mcmc_colorer_tpu.models.mcmc_active import _buckets, pick_cap
 
         ell = self.ell
         n_pad = ell.n_pad
@@ -75,7 +75,7 @@ class LubyColorer:
             is_set = jnp.zeros((n_pad,), jnp.bool_)
             n_cand = uncolored
             while n_cand > 0:
-                cap = next(c for c in caps if c >= n_cand)
+                cap = pick_cap(caps, n_cand)
                 key, k_r = jax.random.split(key)
                 cands, is_set, n_c = self._round_fn(cap)(
                     ell, cands, is_set, k_r, cap=cap

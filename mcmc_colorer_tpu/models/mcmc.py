@@ -231,7 +231,9 @@ class MCMCColorer:
         from mcmc_colorer_tpu.graph.container import degree_pad_for
 
         if layout == "bucketed":
-            self.block = min(self.block, 2048)
+            if block_size is None:
+                # bound per-bucket phantom padding and [B, nCol] buffers
+                self.block = min(self.block, 2048)
             g2, perm = graph.degree_relabel()
             self._perm = perm
             # bucket heights round to 128 rows (not the sweep block) so
@@ -945,10 +947,8 @@ def _tailcut_bucketed(
         )
         conf = jnp.int32(0)
         flags_p, cand_p = [], []
-        ncs = []
         for s in bell.slices:
             nc_r = jnp.take(cols_ext, s.neighbors, axis=0)
-            ncs.append(nc_r)
             own = _slice_vec(cols_r, s.start, s.h_pad)
             gids = s.start + jnp.arange(s.h_pad, dtype=jnp.int32)
             conf = conf + jnp.sum(

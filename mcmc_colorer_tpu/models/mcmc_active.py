@@ -51,13 +51,23 @@ from mcmc_colorer_tpu.utils import rng as rngu
 
 
 def _buckets(n_pad: int, min_bucket: int = 128, factor: int = 4) -> list[int]:
+    """Frontier-capacity ladder.  Caps are rounded to multiples of 128 —
+    the Pallas kernels' vector-tile granularity (pallas_sweep /
+    pallas_first_fit assert cap % block == 0 with block % 128 == 0) —
+    so any user-supplied ``min_bucket`` is safe on the pallas backend."""
     out = []
-    b = min_bucket
+    b = max(128, ((min_bucket + 127) // 128) * 128)
+    factor = max(2, factor)
     while b < n_pad:
         out.append(b)
         b *= factor
     out.append(n_pad)
     return out
+
+
+def pick_cap(caps: list[int], count: int) -> int:
+    """Smallest ladder capacity holding ``count`` frontier vertices."""
+    return next(c for c in caps if c >= max(count, 1))
 
 
 class ActiveMCMCColorer:
@@ -148,7 +158,7 @@ class ActiveMCMCColorer:
                 break
             rounds += 1
             key, k_r = jax.random.split(key)
-            cap = next(c for c in caps if c >= max(n_flag, 1))
+            cap = pick_cap(caps, n_flag)
             colors, cnt = self._tailcut_fn(cap)(
                 ell, colors, cnt, ordered, k_r, cap=cap
             )
@@ -197,7 +207,7 @@ class ActiveMCMCColorer:
                 if conflicts <= z:
                     break
                 rip += 1
-                cap = next(c for c in caps if c >= max(n_active, 1))
+                cap = pick_cap(caps, n_active)
                 colors, taboo, cnt = self._active_fn(cap)(
                     ell, colors, taboo, cnt, k_it, cap=cap
                 )

@@ -99,7 +99,7 @@ class VFFColorer:
 
     def _run_active(self):
         from mcmc_colorer_tpu.models.greedy_ff import GreedyFFColorer
-        from mcmc_colorer_tpu.models.mcmc_active import _buckets
+        from mcmc_colorer_tpu.models.mcmc_active import _buckets, pick_cap
 
         ell = self.ell
         # phase 1: frontier GreedyFF on the same ELL configuration
@@ -111,6 +111,7 @@ class VFFColorer:
                 active=True,
                 min_bucket=self._min_bucket,
                 bucket_factor=self._bucket_factor,
+                ell=self.ell,  # reuse — don't hold a second rectangle
             )
         gff_colors, _ = self._gff._run_active()
         n_used = int(
@@ -128,7 +129,7 @@ class VFFColorer:
         rounds = 0
         looping = False
         while n_unb > 0 and not looping:
-            cap = next(c for c in caps if c >= n_unb)
+            cap = pick_cap(caps, n_unb)
             colors, bins, unb, history, looping_d = self._round_fn(cap)(
                 ell,
                 colors,

@@ -599,6 +599,22 @@ def _run_sharded(
                     use_active = (
                         jax.lax.pmax(elig_cnt, "shards") <= jnp.int32(cap)
                     )
+                    # the active branch approximates the passive dynamics
+                    # with at most ONE ε-flip per sweep — valid only while
+                    # the expected flip count n_passive·(nCol−1)·ε is
+                    # small.  Pooled annealing can boost ε far beyond
+                    # that; fall back to full sweeps there so the boost
+                    # actually injects the exploration it is meant to.
+                    n_passive = jax.lax.psum(
+                        jnp.sum(
+                            ((cnt[c] == 0) & real_loc).astype(jnp.float32)
+                        ),
+                        "shards",
+                    )
+                    p_per = jnp.minimum(
+                        (n_colors - 1) * eps_eff, jnp.float32(0.999999)
+                    )
+                    use_active &= (n_passive * p_per) <= jnp.float32(1.0)
                     s, t, ct, k = jax.lax.cond(
                         use_active,
                         active_branch,

@@ -141,3 +141,22 @@ def test_balance_index_formula():
     # one-off imbalance matches hand computation
     bi = balance_index([11, 9, 10], 30, 0.5)
     assert abs(bi - np.sqrt(2 / 15)) < 1e-12
+
+
+def test_cli_rejects_active_bucketed(tmp_path):
+    """--active builds the flat max-degree rectangle, defeating
+    --layout bucketed — the CLI must refuse the combination loudly
+    instead of silently dropping the layout."""
+    import pytest
+
+    from mcmc_colorer_tpu.cli import main
+
+    with pytest.raises(SystemExit) as e:
+        main(
+            [
+                "--simulate", "0.2", "-n", "80", "--mcmcgpu",
+                "--active", "--layout", "bucketed",
+                "--quiet", "--outDir", str(tmp_path),
+            ]
+        )
+    assert e.value.code == 2

@@ -65,3 +65,16 @@ def test_active_with_tailcut_small_palette(medium_er):
 def test_active_rejects_hastings(small_er):
     with pytest.raises(NotImplementedError):
         ActiveMCMCColorer(small_er, _params(small_er, hastings=True))
+
+
+def test_bucket_ladder_rounds_to_tile_multiples():
+    """User-supplied min_bucket must be rounded to 128 multiples — the
+    pallas kernels assert cap % 128 == 0 (review finding: min_bucket=100
+    would trace-crash on the TPU backend only)."""
+    from mcmc_colorer_tpu.models.mcmc_active import _buckets, pick_cap
+
+    caps = _buckets(4096, min_bucket=100, factor=4)
+    assert all(c % 128 == 0 for c in caps)
+    assert caps[-1] == 4096
+    assert pick_cap(caps, 1) == caps[0]
+    assert pick_cap(caps, 4000) == 4096
