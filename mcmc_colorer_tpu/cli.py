@@ -106,7 +106,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--layout",
         choices=["flat", "bucketed"],
         default="flat",
-        help="ELL device layout for the MCMC chain: 'bucketed' groups "
+        help="ELL device layout for the device colorers: 'bucketed' groups "
         "vertices by degree class (10-100x less gather volume on "
         "skewed-degree graphs)",
     )
@@ -178,6 +178,14 @@ _ALGO_TAG = {
 
 
 def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
+    if args.active and args.layout == "bucketed":
+        print(
+            "--active does not support --layout bucketed yet; "
+            "use one or the other (the frontier colorers would build "
+            "the flat max-degree rectangle, defeating the layout).",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     if kind == ColorerKind.MCMC_SEQ:
         from mcmc_colorer_tpu.models.mcmc_sequential import (
             SequentialMCMCColorer,
@@ -211,14 +219,6 @@ def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
                 EnsembleMCMCColorer(g, params, n_chains=args.chains)
             )
         if args.active:
-            if args.layout == "bucketed":
-                print(
-                    "--active does not support --layout bucketed yet; "
-                    "use one or the other (the active colorer would build "
-                    "the flat max-degree rectangle, defeating the layout).",
-                    file=sys.stderr,
-                )
-                sys.exit(2)
             from mcmc_colorer_tpu.models.mcmc_active import ActiveMCMCColorer
 
             return ActiveMCMCColorer(g, params, backend=args.backend)
@@ -230,15 +230,19 @@ def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
     if kind == ColorerKind.LUBY:
         from mcmc_colorer_tpu.models.luby import LubyColorer
 
-        return LubyColorer(g, active=args.active)
+        return LubyColorer(g, active=args.active, layout=args.layout)
     if kind == ColorerKind.GREEDY_FF:
         from mcmc_colorer_tpu.models.greedy_ff import GreedyFFColorer
 
-        return GreedyFFColorer(g, backend=args.backend, active=args.active)
+        return GreedyFFColorer(
+            g, backend=args.backend, active=args.active, layout=args.layout
+        )
     if kind == ColorerKind.VFF:
         from mcmc_colorer_tpu.models.vff import VFFColorer
 
-        return VFFColorer(g, backend=args.backend, active=args.active)
+        return VFFColorer(
+            g, backend=args.backend, active=args.active, layout=args.layout
+        )
     raise ValueError(kind)
 
 

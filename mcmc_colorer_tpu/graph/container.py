@@ -148,15 +148,22 @@ class Graph:
             node_names=self.node_names, name=self.name,
         )
 
-    def degree_relabel(self) -> tuple["Graph", np.ndarray]:
-        """Relabel vertices by ascending degree (stable).
+    def degree_relabel(
+        self, descending: bool = False
+    ) -> tuple["Graph", np.ndarray]:
+        """Relabel vertices by degree (stable).
 
         Returns (relabeled graph, perm) with ``perm[new_id] = old_id``.
         Foundation of the degree-bucketed ELL layout: contiguous id ranges
         then share a degree class, so per-bucket neighbor rectangles can be
         padded to their own class width instead of the global max degree
-        (PERF.md roadmap item 5)."""
-        perm = np.argsort(self.degrees, kind="stable").astype(np.int64)
+        (PERF.md roadmap item 5).
+
+        ``descending=True`` puts hubs at LOW ids — for colorers whose
+        tie-breaks favor lower ids (GreedyFF's conflict rule) this is the
+        Welsh-Powell order and markedly reduces the used-color count."""
+        key = -self.degrees if descending else self.degrees
+        perm = np.argsort(key, kind="stable").astype(np.int64)
         inv = np.empty(self.n, np.int64)
         inv[perm] = np.arange(self.n, dtype=np.int64)
         degs = self.degrees[perm].astype(np.int64)
@@ -234,31 +241,56 @@ class Graph:
         kernel compiles).  See `BucketedEll` for why."""
         degs = self.degrees.astype(np.int64)
         assert self.n > 0
-        assert np.all(np.diff(degs) >= 0), (
-            "to_ell_bucketed requires ascending degrees - call "
+        asc = bool(np.all(np.diff(degs) >= 0))
+        desc = bool(np.all(np.diff(degs) <= 0))
+        assert asc or desc, (
+            "to_ell_bucketed requires degree-monotonic ids - call "
             "degree_relabel() first"
         )
-        maxd = max(int(degs[-1]), 1)
+        maxd = max(int(degs.max()), 1)
         cap_w = _round_up(maxd, min_lane)
         widths = [min_lane]
         while widths[-1] < maxd:
             widths.append(min(widths[-1] * lane_factor, cap_w))
-        cut = np.searchsorted(degs, np.asarray(widths), side="right")
         segs: list[list[int]] = []  # [v0, v1, width]
-        v0 = 0
-        for w, v1 in zip(widths, cut.tolist()):
-            if v1 > v0:
-                segs.append([v0, v1, w])
-                v0 = v1
-        # fold under-filled classes into the next wider one
-        folded: list[list[int]] = []
-        for seg in segs:
-            if folded and folded[-1][1] - folded[-1][0] < block:
-                folded[-1][1] = seg[1]
-                folded[-1][2] = seg[2]
-            else:
-                folded.append(seg)
-        segs = folded
+        if asc:
+            cut = np.searchsorted(degs, np.asarray(widths), side="right")
+            v0 = 0
+            for w, v1 in zip(widths, cut.tolist()):
+                if v1 > v0:
+                    segs.append([v0, v1, w])
+                    v0 = v1
+            # fold under-filled classes into the next wider one
+            folded: list[list[int]] = []
+            for seg in segs:
+                if folded and folded[-1][1] - folded[-1][0] < block:
+                    folded[-1][1] = seg[1]
+                    folded[-1][2] = seg[2]
+                else:
+                    folded.append(seg)
+            segs = folded
+        else:
+            # descending ids: widest class first.  bounds[k] = first index
+            # with degree <= widths_desc[k]
+            widths_d = widths[::-1]
+            bounds = [
+                int(np.searchsorted(-degs, -np.int64(w), side="left"))
+                for w in widths_d
+            ] + [self.n]
+            for k, w in enumerate(widths_d):
+                if bounds[k + 1] > bounds[k]:
+                    segs.append([bounds[k], bounds[k + 1], w])
+            # fold under-filled classes into the PREVIOUS (wider) one
+            folded = []
+            for seg in segs:
+                if folded and (
+                    seg[1] - seg[0] < block
+                    or folded[-1][1] - folded[-1][0] < block
+                ):
+                    folded[-1][1] = seg[1]
+                else:
+                    folded.append(seg)
+            segs = folded
 
         heights = [_round_up(b - a, block) for a, b, _ in segs]
         starts = np.concatenate([[0], np.cumsum(heights)])[:-1]
@@ -268,6 +300,8 @@ class Graph:
         for (a, b, _), s in zip(segs, starts.tolist()):
             pos[a:b] = s + np.arange(b - a, dtype=np.int64)
 
+        degrees_pad = np.zeros(n_pad, dtype=np.int32)
+        degrees_pad[pos] = degs.astype(np.int32)
         slices = []
         for (a, b, w), s, h_pad in zip(segs, starts.tolist(), heights):
             h = b - a
@@ -291,6 +325,7 @@ class Graph:
             )
         return BucketedEll(
             slices=tuple(slices),
+            degrees=jnp.asarray(degrees_pad),
             n_nodes=self.n,
             n_edges=self.n_edges,
             max_degree=self.max_degree,
@@ -379,6 +414,7 @@ class BucketedEll:
     uniforms) span the concatenation of the padded buckets."""
 
     slices: tuple[EllSlice, ...]
+    degrees: "jnp.ndarray"  # (n_pad,) int32; 0 in phantom slots
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
     n_edges: int = dataclasses.field(metadata=dict(static=True))
     max_degree: int = dataclasses.field(metadata=dict(static=True))

@@ -37,6 +37,7 @@ class GreedyFFColorer:
         min_bucket: int = 128,
         bucket_factor: int = 4,
         ell: EllGraph | None = None,
+        layout: str = "flat",
     ) -> None:
         """``active=True`` runs the frontier variant: after the first full
         pass only the conflict losers (the uncolored frontier, which decays
@@ -45,7 +46,16 @@ class GreedyFFColorer:
 
         ``ell``: prebuilt device layout to reuse (must match block/backend
         padding) — avoids holding a second [n_pad, d_pad] rectangle when a
-        caller (VFF phase 1) already owns one."""
+        caller (VFF phase 1) already owns one.
+
+        ``layout='bucketed'``: degree-bucketed rectangles (see
+        models/mcmc.py MCMCColorer) — the speculative rounds gather
+        Σ h_b·d_b ≈ 2m elements instead of n·maxDeg; required on skewed
+        graphs whose flat rectangle exceeds HBM."""
+        if active and layout == "bucketed":
+            raise NotImplementedError(
+                "frontier mode over the bucketed layout is not wired yet"
+            )
         self.graph = graph
         self.max_colors = graph.max_degree + 1
         self.block = block_size or choose_block_size(graph.n, self.max_colors)
@@ -57,12 +67,41 @@ class GreedyFFColorer:
             )
         self.backend = backend
         self.active = active
+        self.layout = layout
         from mcmc_colorer_tpu.graph.container import degree_pad_for
 
-        self.ell = ell if ell is not None else graph.to_ell(
-            pad_nodes_to=max(self.block, 128),
-            pad_degree_to=degree_pad_for(graph, backend),
-        )
+        if layout == "bucketed":
+            if block_size is None:
+                self.block = min(self.block, 2048)
+            # Above ~262k rows the pallas first-fit faults the TPU worker
+            # inside the colorer loop (ops/pallas_firstfit.py:
+            # PALLAS_FF_MAX_ROWS); large graphs run the hardware-verified
+            # XLA configuration instead (min_lane 8, XLA occupancy).
+            from mcmc_colorer_tpu.ops.pallas_firstfit import (
+                PALLAS_FF_MAX_ROWS,
+            )
+
+            if graph.n > PALLAS_FF_MAX_ROWS:
+                backend = "xla"
+                self.backend = "xla"
+
+            # descending = Welsh-Powell order: hubs get LOW ids and win
+            # the lower-id-wins conflict rule, markedly fewer used colors
+            g2, perm = graph.degree_relabel(descending=True)
+            self._perm = perm
+            self.ell = g2.to_ell_bucketed(
+                block=128,
+                min_lane=128 if backend == "pallas" else 8,
+            )
+            self._pos = self.ell.real_positions()
+        elif layout == "flat":
+            self._perm = None
+            self.ell = ell if ell is not None else graph.to_ell(
+                pad_nodes_to=max(self.block, 128),
+                pad_degree_to=degree_pad_for(graph, backend),
+            )
+        else:
+            raise ValueError(f"unknown layout {layout!r}")
         self._jit_run = jax.jit(
             partial(
                 _run_gff,
@@ -114,7 +153,12 @@ class GreedyFFColorer:
             colors, rounds = self._run_active()
         else:
             colors, rounds = self._jit_run(self.ell)
-        colors = np.asarray(jax.device_get(colors))[: self.graph.n]
+        if self._perm is not None:
+            padded = np.asarray(jax.device_get(colors))
+            colors = np.empty(self.graph.n, np.int32)
+            colors[self._perm] = padded[self._pos]
+        else:
+            colors = np.asarray(jax.device_get(colors))[: self.graph.n]
         dur = (time.perf_counter() - t0) * 1e3
         used = int(np.unique(colors).shape[0])
         return Coloring(
@@ -129,7 +173,7 @@ class GreedyFFColorer:
 
 
 def _first_fit_pass(
-    ell: EllGraph,
+    ell,
     colors: jnp.ndarray,
     max_colors: int,
     block: int,
@@ -137,6 +181,52 @@ def _first_fit_pass(
 ) -> jnp.ndarray:
     """tentative_coloring: smallest color not used by any neighbor
     (coloringGreedyFF.cu:88-128), for currently uncolored vertices."""
+    from mcmc_colorer_tpu.models.mcmc import _is_bucketed, _slice_vec
+
+    if _is_bucketed(ell):
+        from mcmc_colorer_tpu.ops.pallas_firstfit import (
+            PALLAS_FF_MAX_ROWS,
+            pallas_palette_ok,
+        )
+
+        outs = []
+        for s in ell.slices:
+            h = s.h_pad
+            nc = neighbor_colors(s.neighbors, colors)
+            cur_s = _slice_vec(colors, s.start, h)
+            # a vertex's smallest free color is <= its degree <= the
+            # slice width, so each slice only needs a d_b+1 palette —
+            # this keeps the kernel's [block, palette] VMEM temporaries
+            # bounded even when maxDeg (hence max_colors) is huge
+            pal = min(max_colors, s.d_pad + 1)
+            if (
+                backend == "pallas"
+                and pallas_palette_ok(pal)
+                and h <= PALLAS_FF_MAX_ROWS
+            ):
+                from mcmc_colorer_tpu.ops.pallas_firstfit import (
+                    pallas_first_fit,
+                )
+
+                ff = pallas_first_fit(
+                    nc,
+                    jnp.ones((pal,), jnp.int32),
+                    n_colors=pal,
+                    block=128,
+                )
+            else:
+                blk = block if h % block == 0 else 128
+
+                def block_fn(xs):
+                    (nc_blk,) = xs
+                    occ = occupancy_matrix(nc_blk, pal)
+                    return jnp.argmax(~occ, axis=1).astype(jnp.int32)
+
+                ff = _map_blocks(
+                    block_fn, h // blk, blk, nc
+                ).reshape(h)
+            outs.append(jnp.where(cur_s < 0, ff, cur_s))
+        return jnp.concatenate(outs)
     n_pad = ell.n_pad
     if backend == "pallas":
         from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_first_fit
@@ -163,10 +253,27 @@ def _first_fit_pass(
     return out.reshape(n_pad)
 
 
-def _conflict_losers(ell: EllGraph, colors: jnp.ndarray) -> jnp.ndarray:
+def _conflict_losers(ell, colors: jnp.ndarray) -> jnp.ndarray:
     """conflict_detection: same color as a lower-id neighbor → lose
     (coloringGreedyFF.cu:134-162)."""
+    from mcmc_colorer_tpu.models.mcmc import _is_bucketed, _slice_vec
+
     colors_ext = jnp.concatenate([colors, jnp.full((1,), -2, jnp.int32)])
+    if _is_bucketed(ell):
+        parts = []
+        for s in ell.slices:
+            nc = jnp.take(colors_ext, s.neighbors, axis=0)
+            own = _slice_vec(colors, s.start, s.h_pad)
+            gids = s.start + jnp.arange(s.h_pad, dtype=jnp.int32)
+            parts.append(
+                jnp.any(
+                    (nc == own[:, None])
+                    & (own[:, None] >= 0)
+                    & (s.neighbors < gids[:, None]),
+                    axis=1,
+                )
+            )
+        return jnp.concatenate(parts)
     nc = jnp.take(colors_ext, ell.neighbors, axis=0)
     self_ids = jnp.arange(ell.n_pad, dtype=jnp.int32)[:, None]
     return jnp.any(

@@ -37,6 +37,7 @@ class LubyColorer:
         active: bool = False,
         min_bucket: int = 128,
         bucket_factor: int = 4,
+        layout: str = "flat",
     ) -> None:
         """``active=True`` runs the frontier variant: every coin-flip /
         survival round gathers only the rows of the remaining *candidates*
@@ -44,12 +45,33 @@ class LubyColorer:
         all n rows — the Luby rendition of the active-set design
         (models/mcmc_active.py; PERF.md roadmap).  It also avoids the full
         loop's [n_pad, d_pad] precomputed neighbor-degree matrix (4·n·d
-        bytes — prohibitive at n=1e6)."""
+        bytes — prohibitive at n=1e6).
+
+        ``layout='bucketed'``: degree-bucketed rectangles — the
+        device-resident loop gathers Σ h_b·d_b ≈ 2m elements per round
+        instead of n·maxDeg (required on skewed graphs at scale).  The MIS
+        rule is degree-based, so the relabeling does not change the
+        distribution of produced colorings."""
+        if active and layout == "bucketed":
+            raise NotImplementedError(
+                "frontier mode over the bucketed layout is not wired yet"
+            )
         self.graph = graph
         self.active = active
-        pad = 128 if active else 8
-        self.ell = graph.to_ell(pad_nodes_to=pad)
-        self._jit_run = jax.jit(_run_luby)
+        self.layout = layout
+        if layout == "bucketed":
+            g2, perm = graph.degree_relabel(descending=True)
+            self._perm = perm
+            self.ell = g2.to_ell_bucketed(block=128, min_lane=8)
+            self._pos = self.ell.real_positions()
+            self._jit_run = jax.jit(_run_luby_bucketed)
+        elif layout == "flat":
+            self._perm = None
+            pad = 128 if active else 8
+            self.ell = graph.to_ell(pad_nodes_to=pad)
+            self._jit_run = jax.jit(_run_luby)
+        else:
+            raise ValueError(f"unknown layout {layout!r}")
         self._jit_rounds: dict[int, object] = {}
         self._min_bucket = min_bucket
         self._bucket_factor = bucket_factor
@@ -95,7 +117,12 @@ class LubyColorer:
             colors, n_colors = self._run_active(key)
         else:
             colors, n_colors = self._jit_run(self.ell, key)
-        colors = np.asarray(jax.device_get(colors))[: self.graph.n]
+        if self._perm is not None:
+            padded = np.asarray(jax.device_get(colors))
+            colors = np.empty(self.graph.n, np.int32)
+            colors[self._perm] = padded[self._pos]
+        else:
+            colors = np.asarray(jax.device_get(colors))[: self.graph.n]
         dur = (time.perf_counter() - t0) * 1e3
         n_colors = int(n_colors)
         return Coloring(
@@ -198,6 +225,85 @@ def _run_luby(ell: EllGraph, key):
                 jnp.take(surv_ext, ell.neighbors, axis=0), axis=1
             )
             cands = cands & ~surv & ~near_surv
+            return cands, is_set, key
+
+        cands, is_set, key = jax.lax.while_loop(
+            inner_cond, inner_body, (cands0, is0, key)
+        )
+        colors = jnp.where(is_set, n_colors, colors)
+        return colors, n_colors + 1, key
+
+    colors0 = jnp.where(real, jnp.int32(-1), jnp.int32(0))
+    colors, n_colors, key = jax.lax.while_loop(
+        outer_cond, outer_body, (colors0, jnp.int32(0), key)
+    )
+    return colors, n_colors
+
+
+def _run_luby_bucketed(bell, key):
+    """Device-resident Luby over degree-bucketed rectangles.
+
+    Same nested-while structure and survival rule as `_run_luby`, but each
+    round's neighbor inspection runs per degree-class slice, and the
+    selection flag travels WITH the degree in one packed int32 gather
+    (deg·2 | selected) instead of a precomputed [n_pad, d_pad]
+    neighbor-degree matrix (prohibitive at n=1e6)."""
+    from mcmc_colorer_tpu.models.mcmc import _slice_vec
+
+    n_pad = bell.n_pad
+    real = bell.node_mask
+    degrees = bell.degrees
+
+    def near_mask(flags):
+        """per vertex: any neighbor flagged (one gather per slice)."""
+        flags_ext = jnp.concatenate([flags, jnp.zeros((1,), jnp.bool_)])
+        parts = [
+            jnp.any(jnp.take(flags_ext, s.neighbors, axis=0), axis=1)
+            for s in bell.slices
+        ]
+        return jnp.concatenate(parts)
+
+    def beaten_mask(sel):
+        """per vertex: some selected neighbor has >= degree."""
+        packed = jax.lax.shift_left(degrees, 1) | sel.astype(jnp.int32)
+        packed_ext = jnp.concatenate([packed, jnp.zeros((1,), jnp.int32)])
+        parts = []
+        for s in bell.slices:
+            nb = jnp.take(packed_ext, s.neighbors, axis=0)
+            deg_s = _slice_vec(degrees, s.start, s.h_pad)
+            parts.append(
+                jnp.any(
+                    ((nb & 1) == 1)
+                    & (
+                        jax.lax.shift_right_logical(nb, 1)
+                        >= deg_s[:, None]
+                    ),
+                    axis=1,
+                )
+            )
+        return jnp.concatenate(parts)
+
+    def outer_cond(carry):
+        colors, n_colors, key = carry
+        return jnp.any((colors < 0) & real)
+
+    def outer_body(carry):
+        colors, n_colors, key = carry
+        cands0 = (colors < 0) & real
+        is0 = jnp.zeros((n_pad,), jnp.bool_)
+
+        def inner_cond(icarry):
+            cands, is_set, key = icarry
+            return jnp.any(cands)
+
+        def inner_body(icarry):
+            cands, is_set, key = icarry
+            key, ku = jax.random.split(key)
+            u = jax.random.uniform(ku, (n_pad,), dtype=jnp.float32)
+            sel = cands & (u < 0.5)
+            surv = sel & ~beaten_mask(sel)
+            is_set = is_set | surv
+            cands = cands & ~surv & ~near_mask(surv)
             return cands, is_set, key
 
         cands, is_set, key = jax.lax.while_loop(

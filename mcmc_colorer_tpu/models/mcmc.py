@@ -914,7 +914,12 @@ def _tailcut_bucketed(
     colors_r = jnp.take(rank_ext, jnp.clip(colors, 0, n_colors), axis=0)
     colors_r = jnp.where(bell.node_mask, colors_r, jnp.int32(n_colors))
 
-    use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_palette_ok
+
+    use_pallas = jax.default_backend() not in (
+        "cpu",
+        "gpu",
+    ) and pallas_palette_ok(n_colors)
     max_rounds = jnp.int32(bell.n_nodes + 1000)
     node_mask = bell.node_mask
 

@@ -49,12 +49,21 @@ class VFFColorer:
         active: bool = False,
         min_bucket: int = 128,
         bucket_factor: int = 4,
+        layout: str = "flat",
     ) -> None:
         """``active=True`` runs the frontier variant: phase 1 is the active
         GreedyFF loop and each phase-2 round gathers only the *unbalanced*
         vertices' rows (the set the reference's detect_unbalanced flags,
         which shrinks every round) instead of all n — the VFF rendition of
-        the active-set design (models/mcmc_active.py)."""
+        the active-set design (models/mcmc_active.py).
+
+        ``layout='bucketed'``: degree-bucketed rectangles (see
+        models/mcmc.py) — both phases gather Σ h_b·d_b ≈ 2m elements per
+        round instead of n·maxDeg."""
+        if active and layout == "bucketed":
+            raise NotImplementedError(
+                "frontier mode over the bucketed layout is not wired yet"
+            )
         self.graph = graph
         self.max_colors = graph.max_degree + 1
         self.block = block_size or choose_block_size(graph.n, self.max_colors)
@@ -66,12 +75,39 @@ class VFFColorer:
             )
         self.backend = backend
         self.active = active
+        self.layout = layout
         from mcmc_colorer_tpu.graph.container import degree_pad_for
 
-        self.ell = graph.to_ell(
-            pad_nodes_to=max(self.block, 128),
-            pad_degree_to=degree_pad_for(graph, backend),
-        )
+        if layout == "bucketed":
+            if block_size is None:
+                self.block = min(self.block, 2048)
+            # Above ~262k rows the pallas first-fit faults the TPU worker
+            # inside the colorer loop (ops/pallas_firstfit.py:
+            # PALLAS_FF_MAX_ROWS); large graphs run the hardware-verified
+            # XLA configuration instead (min_lane 8, XLA occupancy).
+            from mcmc_colorer_tpu.ops.pallas_firstfit import (
+                PALLAS_FF_MAX_ROWS,
+            )
+
+            if graph.n > PALLAS_FF_MAX_ROWS:
+                backend = "xla"
+                self.backend = "xla"
+
+            g2, perm = graph.degree_relabel(descending=True)
+            self._perm = perm
+            self.ell = g2.to_ell_bucketed(
+                block=128,
+                min_lane=128 if backend == "pallas" else 8,
+            )
+            self._pos = self.ell.real_positions()
+        elif layout == "flat":
+            self._perm = None
+            self.ell = graph.to_ell(
+                pad_nodes_to=max(self.block, 128),
+                pad_degree_to=degree_pad_for(graph, backend),
+            )
+        else:
+            raise ValueError(f"unknown layout {layout!r}")
         self._jit_run = jax.jit(
             partial(
                 _run_vff,
@@ -154,7 +190,12 @@ class VFFColorer:
             colors, n_used, rounds, fell_back = self._run_active()
         else:
             colors, n_used, rounds, fell_back = self._jit_run(self.ell)
-        colors = np.asarray(jax.device_get(colors))[: self.graph.n]
+        if self._perm is not None:
+            padded = np.asarray(jax.device_get(colors))
+            colors = np.empty(self.graph.n, np.int32)
+            colors[self._perm] = padded[self._pos]
+        else:
+            colors = np.asarray(jax.device_get(colors))[: self.graph.n]
         dur = (time.perf_counter() - t0) * 1e3
         return Coloring(
             colors=colors,
@@ -252,13 +293,136 @@ def _vff_active_round(
     return colors_next, bins_next, unb_next, history, looping
 
 
+
+
+def _tentative_rebalance(
+    ell, colors, unb, allow, max_colors: int, block: int, backend: str
+):
+    """tentative_rebalancing: every unbalanced vertex moves to its lowest
+    free allowed class, own color forbidden (coloringVFF.cu:352-388, with
+    the intended undersized-bin rule).  Dispatches per degree-class slice
+    on the bucketed layout."""
+    from mcmc_colorer_tpu.models.mcmc import _is_bucketed, _slice_vec
+
+    if _is_bucketed(ell):
+        parts = []
+        from mcmc_colorer_tpu.ops.pallas_firstfit import (
+            PALLAS_FF_MAX_ROWS,
+            pallas_palette_ok,
+        )
+
+        for s in ell.slices:
+            h = s.h_pad
+            cur_s = _slice_vec(colors, s.start, h)
+            unb_s = _slice_vec(unb, s.start, h)
+            # rebalancing targets are allow-masked (undersized bins), so
+            # the palette cannot be truncated per slice; over the kernel's
+            # VMEM palette bound the XLA occupancy path serves the slice
+            if (
+                backend == "pallas"
+                and pallas_palette_ok(max_colors)
+                and h <= PALLAS_FF_MAX_ROWS
+            ):
+                from mcmc_colorer_tpu.ops.pallas_firstfit import (
+                    pallas_first_fit,
+                )
+
+                nc = neighbor_colors(s.neighbors, colors)
+                cand = pallas_first_fit(
+                    nc,
+                    allow,
+                    n_colors=max_colors,
+                    block=128,
+                    cur=cur_s,
+                )
+                parts.append(
+                    jnp.where(unb_s & (cand >= 0), cand, cur_s)
+                )
+            else:
+                blk = block if h % block == 0 else 128
+
+                def block_fn(xs):
+                    neigh_blk, cur_blk, unb_blk = xs
+                    nc_blk = neighbor_colors(neigh_blk, colors)
+                    occ = occupancy_matrix(nc_blk, max_colors)
+                    occ = occ.at[
+                        jnp.arange(cur_blk.shape[0]),
+                        jnp.clip(cur_blk, 0, max_colors - 1),
+                    ].set(True)
+                    eligible = (~occ) & allow[None, :]
+                    k = jnp.argmax(eligible, axis=1).astype(jnp.int32)
+                    found = jnp.any(eligible, axis=1)
+                    return jnp.where(unb_blk & found, k, cur_blk)
+
+                out = _map_blocks(
+                    block_fn, h // blk, blk, s.neighbors, cur_s, unb_s
+                )
+                parts.append(out.reshape(h))
+        return jnp.concatenate(parts)
+    n_pad = ell.n_pad
+    if backend == "pallas":
+        from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_first_fit
+
+        nc_all = neighbor_colors(ell.neighbors, colors)
+        cand = pallas_first_fit(
+            nc_all,
+            allow,
+            n_colors=max_colors,
+            block=min(block, 128),
+            cur=colors,  # own color forbidden (coloringVFF.cu:371-372)
+        )
+        return jnp.where(unb & (cand >= 0), cand, colors)
+
+    def block_fn(xs):
+        neigh_blk, cur_blk, unb_blk = xs
+        nc = neighbor_colors(neigh_blk, colors)
+        occ = occupancy_matrix(nc, max_colors)
+        occ = occ.at[
+            jnp.arange(cur_blk.shape[0]),
+            jnp.clip(cur_blk, 0, max_colors - 1),
+        ].set(True)
+        eligible = (~occ) & allow[None, :]
+        k = jnp.argmax(eligible, axis=1).astype(jnp.int32)
+        found = jnp.any(eligible, axis=1)
+        return jnp.where(unb_blk & found, k, cur_blk)
+
+    cand_b = _map_blocks(
+        block_fn, n_pad // block, block, ell.neighbors, colors, unb
+    )
+    return cand_b.reshape(n_pad)
+
+
+def _lower_id_conflicted(ell, colors):
+    """Per vertex: shares its color with a lower-id neighbor."""
+    from mcmc_colorer_tpu.models.mcmc import _is_bucketed, _slice_vec
+
+    colors_ext = jnp.concatenate([colors, jnp.full((1,), -2, jnp.int32)])
+    if _is_bucketed(ell):
+        parts = []
+        for s in ell.slices:
+            nc = jnp.take(colors_ext, s.neighbors, axis=0)
+            own = _slice_vec(colors, s.start, s.h_pad)
+            gids = s.start + jnp.arange(s.h_pad, dtype=jnp.int32)
+            parts.append(
+                jnp.any(
+                    (nc == own[:, None]) & (s.neighbors < gids[:, None]),
+                    axis=1,
+                )
+            )
+        return jnp.concatenate(parts)
+    node_ids = jnp.arange(ell.n_pad, dtype=jnp.int32)
+    nc = jnp.take(colors_ext, ell.neighbors, axis=0)
+    return jnp.any(
+        (nc == colors[:, None]) & (ell.neighbors < node_ids[:, None]),
+        axis=1,
+    )
+
+
 def _run_vff(
     ell: EllGraph, *, max_colors: int, block: int, backend: str = "xla"
 ):
     n_pad = ell.n_pad
-    n_blocks = n_pad // block
     real = ell.node_mask
-    node_ids = jnp.arange(n_pad, dtype=jnp.int32)
 
     # ---- phase 1: Greedy FF (coloringVFF.cu:90-125 reuses the GFF loop)
     gff_colors, _ = _run_gff(
@@ -295,48 +459,12 @@ def _run_vff(
             jnp.arange(max_colors, dtype=jnp.int32) < n_used
         )
 
-        if backend == "pallas":
-            from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_first_fit
-
-            nc_all = neighbor_colors(ell.neighbors, colors)
-            cand = pallas_first_fit(
-                nc_all,
-                allow,
-                n_colors=max_colors,
-                block=min(block, 128),
-                cur=colors,  # own color forbidden (coloringVFF.cu:371-372)
-            )
-            new_colors = jnp.where(unb & (cand >= 0), cand, colors)
-        else:
-
-            def block_fn(xs):
-                neigh_blk, cur_blk, unb_blk = xs
-                nc = neighbor_colors(neigh_blk, colors)
-                occ = occupancy_matrix(nc, max_colors)
-                # own current color also forbidden
-                occ = occ.at[
-                    jnp.arange(cur_blk.shape[0]),
-                    jnp.clip(cur_blk, 0, max_colors - 1),
-                ].set(True)
-                eligible = (~occ) & allow[None, :]
-                k = jnp.argmax(eligible, axis=1).astype(jnp.int32)
-                found = jnp.any(eligible, axis=1)
-                return jnp.where(unb_blk & found, k, cur_blk)
-
-            cand_b = _map_blocks(
-                block_fn, n_blocks, block, ell.neighbors, colors, unb
-            )
-            new_colors = cand_b.reshape(n_pad)
+        new_colors = _tentative_rebalance(
+            ell, colors, unb, allow, max_colors, block, backend
+        )
         # solve_conflicts: an unbalanced node stays flagged iff it now
         # conflicts with a lower-id neighbor (coloringVFF.cu:411-437)
-        colors_ext = jnp.concatenate(
-            [new_colors, jnp.full((1,), -2, jnp.int32)]
-        )
-        nc = jnp.take(colors_ext, ell.neighbors, axis=0)
-        conflicted = jnp.any(
-            (nc == new_colors[:, None]) & (ell.neighbors < node_ids[:, None]),
-            axis=1,
-        )
+        conflicted = _lower_id_conflicted(ell, new_colors)
         new_bins = bin_sizes(new_colors)
         new_unb = unb & conflicted
         # 10-deep history ring; all-equal → livelock (coloringVFF.cu:447-466)

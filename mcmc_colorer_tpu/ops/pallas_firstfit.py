@@ -25,6 +25,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def pallas_palette_ok(n_colors: int) -> bool:
+    """Whether the first-fit/resample kernels' [block, paletted] VMEM
+    temporaries fit the 16 MB scoped-vmem budget at block=128.  Measured:
+    2304-color palettes compile and run; 4992 overflows by ~3.5 MB
+    (PERF.md).  Callers fall back to the XLA occupancy path beyond this."""
+    return _round_up(n_colors, 128) <= 3072
+
+
+# Empirical (round 1): the first-fit kernel inside a lax.while_loop faults
+# the TPU worker at runtime for very tall inputs (995712x128 at 1M BA),
+# although the identical standalone call passes and 98432-row loops run
+# fine.  Until root-caused, loop-resident callers fall back to the XLA
+# occupancy path above this row count.
+PALLAS_FF_MAX_ROWS = 1 << 18
+
+
 def _kernel(
     nc_ref,      # [B, d_pad] int32 neighbor colors (-1 padding)
     cur_ref,     # [8, 128] int32 tile: own color to exclude (-1 = none;

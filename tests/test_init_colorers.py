@@ -119,3 +119,47 @@ def test_luby_active_classes_are_maximal(small_er):
     for v in range(g.n):
         if not in0[v]:
             assert in0[g.neighbors_of(v)].any(), v
+
+
+# ---------------------- degree-bucketed layouts -----------------------------
+
+
+def test_bucketed_gff_valid_and_welsh_powell(medium_er):
+    """Bucketed GFF relabels hubs to low ids (Welsh-Powell order) — the
+    coloring must be valid, stay in the palette bound, and not use more
+    colors than the unordered flat loop on this graph family."""
+    flat = GreedyFFColorer(medium_er).run()
+    buck = GreedyFFColorer(medium_er, layout="bucketed").run()
+    assert check_coloring(medium_er, buck.colors)
+    assert buck.n_colors <= medium_er.max_degree + 1
+    assert buck.n_colors <= flat.n_colors + 1
+
+
+def test_bucketed_luby_valid():
+    from mcmc_colorer_tpu.graph.generate import barabasi_albert
+
+    g = barabasi_albert(2000, 8, seed=1, use_native=False)
+    r = LubyColorer(g, layout="bucketed").run(seed=2)
+    assert check_coloring(g, r.colors)
+    assert (r.colors >= 0).all() and (r.colors < r.n_colors).all()
+
+
+def test_bucketed_vff_valid_and_balanced(medium_er):
+    r = VFFColorer(medium_er, layout="bucketed").run()
+    assert check_coloring(medium_er, r.colors)
+    assert int(np.max(r.colors)) < r.n_colors
+    if not r.extra["livelock_fallback"]:
+        gff = GreedyFFColorer(medium_er, layout="bucketed").run()
+        assert r.class_stats()["std"] <= gff.class_stats()["std"] + 1e-6
+
+
+def test_bucketed_rejects_active_combo(small_er):
+    import pytest
+
+    for cls, kw in (
+        (GreedyFFColorer, {}),
+        (LubyColorer, {}),
+        (VFFColorer, {}),
+    ):
+        with pytest.raises(NotImplementedError):
+            cls(small_er, active=True, layout="bucketed", **kw)
