@@ -41,14 +41,13 @@ def tpu_sweep_rate(n=100_000, p=0.01, iters=20, seed=0) -> float:
     from mcmc_colorer_tpu.models.mcmc import (
         _conflict_edges,
         _sweep,
+        _sweep_matmul,
         _sweep_pallas_fused,
         _variant_distribution,
         choose_block_size,
     )
+    from mcmc_colorer_tpu.ops.dense_adj import dense_adj_ok
     from mcmc_colorer_tpu.ops.neighbor import color_histogram
-
-    use_pallas = jax.default_backend() not in ("cpu", "gpu")
-    log(f"sweep backend: {'pallas-fused' if use_pallas else 'xla'}")
 
     t0 = time.perf_counter()
     g = erdos_renyi(n, p, seed=seed)
@@ -63,15 +62,41 @@ def tpu_sweep_rate(n=100_000, p=0.01, iters=20, seed=0) -> float:
     ell = g.to_ell(pad_nodes_to=block)
     n_pad = ell.n_pad
 
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if on_tpu and dense_adj_ok(n_pad, g.mean_degree):
+        backend = "matmul"  # dense int8 A @ onehot on the MXU (round 2)
+    elif on_tpu:
+        backend = "pallas"
+    else:
+        backend = "xla"
+    log(f"sweep backend: {backend}")
+
+    adj = None
+    if backend == "matmul":
+        from mcmc_colorer_tpu.ops.dense_adj import build_dense_adjacency
+
+        t0 = time.perf_counter()
+        adj = build_dense_adjacency(g, n_pad)
+        np.asarray(adj[:1, :1])
+        log(
+            f"dense adjacency built on device in "
+            f"{time.perf_counter()-t0:.1f}s "
+            f"({adj.size / 1e9:.1f} GB, one-time per graph)"
+        )
+
     @jax.jit
-    def run_k(ell, colors, taboo, key):
+    def run_k(ell, adj, colors, taboo, key):
         def body(carry, it):
             colors, taboo, key = carry
             key, ku = jax.random.split(key)
             unif = jax.random.uniform(ku, (n_pad,), dtype=jnp.float32)
             hist = color_histogram(colors, params.n_colors, ell.node_mask)
             p_eff = _variant_distribution(params, hist, ell.n_nodes)
-            if use_pallas:
+            if backend == "matmul":
+                star, taboo, _, conf, _nc = _sweep_matmul(
+                    ell, adj, params, block, colors, taboo, unif, p_eff
+                )
+            elif backend == "pallas":
                 star, taboo, _, conf = _sweep_pallas_fused(
                     ell, params, block, colors, taboo, unif, p_eff
                 )
@@ -100,7 +125,7 @@ def tpu_sweep_rate(n=100_000, p=0.01, iters=20, seed=0) -> float:
     # flows through a small D2H readback, with the null roundtrip latency
     # measured separately and subtracted.
     t0 = time.perf_counter()
-    out = run_k(ell, colors, taboo, key)
+    out = run_k(ell, adj, colors, taboo, key)
     tail = np.asarray(out[2])  # forces execution
     compile_and_run = time.perf_counter() - t0
 
@@ -112,7 +137,7 @@ def tpu_sweep_rate(n=100_000, p=0.01, iters=20, seed=0) -> float:
     roundtrip = (time.perf_counter() - t0) / 3
 
     t0 = time.perf_counter()
-    out = run_k(ell, colors, taboo, key)
+    out = run_k(ell, adj, colors, taboo, key)
     tail = np.asarray(out[2])
     steady = max(1e-9, (time.perf_counter() - t0) - roundtrip)
     log(

@@ -210,8 +210,12 @@ class MCMCColorer:
         backend: str = "auto",
         layout: str = "flat",
     ) -> None:
-        """``backend``: 'pallas' (fused kernel, TPU), 'xla' (portable
-        reference path), or 'auto' (pallas on TPU, xla elsewhere).
+        """``backend``: 'pallas' (fused gather+kernel, TPU), 'matmul'
+        (dense int8 adjacency x onehot on the MXU — ~8x faster sweeps
+        than 'pallas' but needs n_pad^2 bytes of HBM, see
+        ops/dense_adj.py), 'xla' (portable reference path), or 'auto'
+        (matmul on TPU when the dense adjacency fits and pays for its
+        build, else pallas; xla elsewhere).
 
         ``layout``: 'flat' (one ELL rectangle padded to max degree) or
         'bucketed' (degree-relabeled per-class rectangles — 10-100x less
@@ -221,10 +225,25 @@ class MCMCColorer:
         self.params = params
         self.block = block_size or choose_block_size(graph.n, params.n_colors)
         if backend == "auto":
-            backend = (
-                "pallas"
-                if jax.default_backend() not in ("cpu", "gpu")
-                else "xla"
+            if jax.default_backend() in ("cpu", "gpu"):
+                backend = "xla"
+            else:
+                from mcmc_colorer_tpu.ops.dense_adj import dense_adj_ok
+
+                n_pad_est = (
+                    (graph.n + self.block - 1) // self.block * self.block
+                )
+                backend = (
+                    "matmul"
+                    if layout == "flat"
+                    and dense_adj_ok(n_pad_est, graph.mean_degree)
+                    else "pallas"
+                )
+        if backend == "matmul" and layout != "flat":
+            raise ValueError(
+                "backend='matmul' is flat-layout only (the dense "
+                "adjacency already removes the degree-padding cost the "
+                "bucketed layout exists to cut)"
             )
         self.backend = backend
         self.layout = layout
@@ -252,20 +271,49 @@ class MCMCColorer:
             )
         else:
             raise ValueError(f"unknown layout {layout!r}")
-        self._jit_run = jax.jit(
-            partial(
-                _run_chain, params=params, block=self.block, backend=backend
+        self._adj = None
+        if backend == "matmul":
+            from mcmc_colorer_tpu.ops.dense_adj import (
+                build_dense_adjacency,
+                dense_adj_bytes,
             )
-        )
+
+            if dense_adj_bytes(self.ell.n_pad) > 12 * 1024**3:
+                raise ValueError(
+                    f"dense adjacency needs "
+                    f"{dense_adj_bytes(self.ell.n_pad) / 1e9:.1f} GB HBM "
+                    f"at n_pad={self.ell.n_pad}; use backend='pallas' or "
+                    f"layout='bucketed'"
+                )
+            self._adj = build_dense_adjacency(graph, self.ell.n_pad)
+            self._jit_run = jax.jit(
+                partial(
+                    _run_chain_matmul, params=params, block=self.block
+                )
+            )
+        else:
+            self._jit_run = jax.jit(
+                partial(
+                    _run_chain,
+                    params=params,
+                    block=self.block,
+                    backend=backend,
+                )
+            )
 
     def run(self, seed: int, repetition: int = 0) -> Coloring:
         import time
 
         key = rngu.for_repetition(rngu.root_key(seed), repetition)
         t0 = time.perf_counter()
-        colors, rip, conflicts, trace, tailcut_rounds = self._jit_run(
-            self.ell, key
-        )
+        if self.backend == "matmul":
+            colors, rip, conflicts, trace, tailcut_rounds = self._jit_run(
+                self.ell, self._adj, key
+            )
+        else:
+            colors, rip, conflicts, trace, tailcut_rounds = self._jit_run(
+                self.ell, key
+            )
         if self._perm is not None:
             padded = np.asarray(jax.device_get(colors))
             colors = np.empty(self.graph.n, np.int32)
@@ -816,7 +864,16 @@ def _tailcut(
     colors_r = jnp.take(rank_ext, jnp.clip(colors, 0, n_colors), axis=0)
     colors_r = jnp.where(ell.node_mask, colors_r, jnp.int32(n_colors))
 
-    use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    from mcmc_colorer_tpu.ops.pallas_firstfit import (
+        PALLAS_FF_MAX_ROWS,
+        pallas_palette_ok,
+    )
+
+    use_pallas = (
+        jax.default_backend() not in ("cpu", "gpu")
+        and pallas_palette_ok(n_colors)
+        and n_pad <= PALLAS_FF_MAX_ROWS
+    )
     max_rounds = jnp.int32(ell.n_nodes + 1000)
 
     def first_free(nc_r):
@@ -914,12 +971,19 @@ def _tailcut_bucketed(
     colors_r = jnp.take(rank_ext, jnp.clip(colors, 0, n_colors), axis=0)
     colors_r = jnp.where(bell.node_mask, colors_r, jnp.int32(n_colors))
 
-    from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_palette_ok
+    from mcmc_colorer_tpu.ops.pallas_firstfit import (
+        PALLAS_FF_MAX_ROWS,
+        pallas_palette_ok,
+    )
 
-    use_pallas = jax.default_backend() not in (
-        "cpu",
-        "gpu",
-    ) and pallas_palette_ok(n_colors)
+    # row gate: the first-fit kernel faults the TPU worker inside while
+    # loops above PALLAS_FF_MAX_ROWS rows — at the bucketed layout's 1M
+    # scale the tallest slice easily exceeds it (ADVICE r1)
+    use_pallas = (
+        jax.default_backend() not in ("cpu", "gpu")
+        and pallas_palette_ok(n_colors)
+        and max(s.h_pad for s in bell.slices) <= PALLAS_FF_MAX_ROWS
+    )
     max_rounds = jnp.int32(bell.n_nodes + 1000)
     node_mask = bell.node_mask
 
@@ -1108,6 +1172,265 @@ def _run_chain(
         (colors0, taboo0, key, jnp.int32(0), conflicts0, trace0),
     )
 
+    if params.tailcut:
+        key, k_tc = jax.random.split(key)
+        colors, conflicts, tc_rounds = _tailcut_any(
+            ell, colors, conflicts, k_tc, params=params, block=block
+        )
+    else:
+        tc_rounds = jnp.int32(0)
+    return colors, rip, conflicts, trace, tc_rounds
+
+
+def _sweep_matmul(
+    ell: EllGraph,
+    adj,
+    params: MCMCParams,
+    block: int,
+    colors: jnp.ndarray,
+    taboo: jnp.ndarray,
+    unif: jnp.ndarray,
+    p_eff: jnp.ndarray | None,
+    eps: jnp.ndarray | None = None,
+):
+    """One full proposal sweep with the neighbor color counts computed as
+    ONE MXU contraction ``NC = A @ onehot(colors)`` (ops/dense_adj.py)
+    instead of the neighbor-color gather — measured 8x faster per sweep
+    on the headline ER(100k, 0.01) (PERF.md round 2).  Returns
+    (star, new_taboo, Σ log qStar, conflict_edges(colors), NC) —
+    distribution-identical to `_sweep` given the same uniforms (same
+    occupancy, same q, same inverse-CDF walk).
+
+    Counterpart of the reference's selectStarColoringBalanceDynamic +
+    conflictCounter pair (coloringMCMC_balance.cu:79-143,
+    _utils.cu:103-119) with the per-thread neighbor scans re-expressed
+    as a contraction."""
+    from mcmc_colorer_tpu.ops.dense_adj import neighbor_color_counts
+
+    n_pad = ell.n_pad
+    n_colors = params.n_colors
+    nc = neighbor_color_counts(adj, colors, n_colors, ell.node_mask)
+    n_col_pad = nc.shape[1]
+    p_eff_pad = None
+    if p_eff is not None:
+        p_eff_pad = jnp.zeros((n_col_pad,), jnp.float32).at[:n_colors].set(
+            p_eff
+        )
+    n_blocks = n_pad // block
+    node_ids = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def block_fn(xs):
+        nc_blk, cur_blk, taboo_blk, unif_blk, real_blk = xs
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_col_pad), 1)
+        # conflict edges touch each endpoint once: Σ_i NC[i, c_i] = 2E_conf
+        conf2 = jnp.sum(
+            jnp.where(col_ids == cur_blk[:, None], nc_blk, 0),
+            dtype=jnp.int32,
+        )
+        occ = nc_blk > 0
+        q = _proposal_q(
+            cur_blk, occ, params, p_eff_pad, eps=eps, n_colors=n_colors
+        )
+        chosen = _sample_cdf(q, unif_blk, n_colors=n_colors)
+        qstar = jnp.take_along_axis(q, chosen[:, None], axis=1)[:, 0]
+        taboo_active = taboo_blk > 0
+        eps_s = jnp.float32(params.epsilon) if eps is None else eps
+        keep_prob = 1.0 - (n_colors - 1) * eps_s
+        chosen = jnp.where(taboo_active, cur_blk, chosen)
+        qstar = jnp.where(taboo_active, keep_prob, qstar)
+        new_taboo = jnp.where(
+            taboo_active,
+            taboo_blk - 1,
+            jnp.where(
+                chosen == cur_blk, jnp.int32(params.taboo_iterations), 0
+            ),
+        )
+        chosen = jnp.where(real_blk, chosen, cur_blk)
+        qstar = jnp.where(real_blk, qstar, 1.0)
+        logq = jnp.sum(jnp.log(jnp.maximum(qstar, 1e-30)))
+        return chosen, new_taboo, logq, conf2
+
+    star_b, taboo_b, logq_b, conf_b = _map_blocks(
+        block_fn,
+        n_blocks,
+        block,
+        nc,
+        colors,
+        taboo,
+        unif,
+        node_ids < jnp.int32(ell.n_nodes),
+    )
+    return (
+        star_b.reshape(n_pad),
+        taboo_b.reshape(n_pad),
+        jnp.sum(logq_b),
+        jnp.sum(conf_b) // 2,
+        nc,
+    )
+
+
+def _reverse_logq_matmul(
+    ell: EllGraph,
+    nc_star,  # [n_pad, n_col_pad] counts of the STAR coloring
+    params: MCMCParams,
+    block: int,
+    colors: jnp.ndarray,
+    star: jnp.ndarray,
+):
+    """`_reverse_logq` fed by a precomputed NC(star) matrix (no gather)."""
+    n_pad = ell.n_pad
+    n_colors = params.n_colors
+    n_col_pad = nc_star.shape[1]
+    eps = jnp.float32(params.epsilon)
+    node_ids = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def block_fn(xs):
+        nc_blk, cur_blk, star_blk, real_blk = xs
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_col_pad), 1)
+        occ = nc_blk > 0
+        col_valid = col_ids < n_colors
+        zn = jnp.sum(occ & col_valid, axis=1, dtype=jnp.int32)
+        zp = jnp.int32(n_colors) - zn
+        occ_star = (
+            jnp.sum(
+                jnp.where(col_ids == star_blk[:, None], nc_blk, 0),
+                axis=1,
+                dtype=jnp.int32,
+            )
+            > 0
+        )
+        occ_cur = (
+            jnp.sum(
+                jnp.where(col_ids == cur_blk[:, None], nc_blk, 0),
+                axis=1,
+                dtype=jnp.int32,
+            )
+            > 0
+        )
+        move_q = jnp.where(
+            occ_cur,
+            eps,
+            (1.0 - eps * zn.astype(jnp.float32))
+            / jnp.maximum(zp, 1).astype(jnp.float32),
+        )
+        keep_q = jnp.where(
+            star_blk == cur_blk, 1.0 - (n_colors - 1) * eps, eps
+        )
+        q_old = jnp.where(occ_star, move_q, keep_q)
+        q_old = jnp.where(zp == 0, 1.0, q_old)
+        q_old = jnp.where(real_blk, q_old, 1.0)
+        return jnp.sum(jnp.log(jnp.maximum(q_old, 1e-30)))
+
+    logq_b = _map_blocks(
+        block_fn,
+        ell.n_pad // block,
+        block,
+        nc_star,
+        colors,
+        star,
+        node_ids < jnp.int32(ell.n_nodes),
+    )
+    return jnp.sum(logq_b)
+
+
+def _run_chain_matmul(
+    ell: EllGraph, adj, key, *, params: MCMCParams, block: int
+):
+    """Chain driver for the dense-adjacency MXU backend.  Non-Hastings
+    iterations cost exactly ONE matmul (the conflict count of the
+    current coloring reads the same NC as the proposal — fused-path
+    semantics, coloringMCMC_main.cu:160-269); Hastings adds a second
+    matmul for the star coloring's occupancy/conflicts."""
+    from mcmc_colorer_tpu.ops.dense_adj import neighbor_color_counts
+
+    n_pad = ell.n_pad
+    z = jnp.int32(params.tailcut_threshold(ell.n_nodes))
+    key, k_init = jax.random.split(key)
+    colors0 = _init_colors(ell, params, k_init)
+    taboo0 = jnp.zeros((n_pad,), jnp.int32)
+    trace0 = jnp.full((params.max_iterations + 1,), -1, jnp.int32)
+
+    def cond(carry):
+        _, _, _, rip, _, _, done = carry
+        return (~done) & (rip < jnp.int32(params.max_iterations))
+
+    def body(carry):
+        colors, taboo, key, rip, conf_last, trace, done = carry
+        if params.hastings:
+            key, k_u, k_acc = jax.random.split(key, 3)
+        else:
+            # same key consumption as _run_chain_fused: the two backends
+            # produce bit-identical chains given the same seed
+            key, k_u = jax.random.split(key)
+        unif = jax.random.uniform(k_u, (n_pad,), dtype=jnp.float32)
+        if _needs_histogram(params):
+            hist = color_histogram(colors, params.n_colors, ell.node_mask)
+        else:
+            hist = None
+        p_eff = _variant_distribution(params, hist, ell.n_nodes)
+        star, new_taboo, logq_star, conf_cur, _nc = _sweep_matmul(
+            ell, adj, params, block, colors, taboo, unif, p_eff
+        )
+        done_now = conf_cur <= z
+        trace = trace.at[rip].set(conf_cur)
+        if params.hastings:
+            nc_star = neighbor_color_counts(
+                adj, star, params.n_colors, ell.node_mask
+            )
+            col_ids = jnp.arange(nc_star.shape[1], dtype=jnp.int32)
+            conf_star = (
+                jnp.sum(
+                    jnp.where(
+                        col_ids[None, :] == star[:, None], nc_star, 0
+                    ),
+                    dtype=jnp.int32,
+                )
+                // 2
+            )
+            logq_old = _reverse_logq_matmul(
+                ell, nc_star, params, block, colors, star
+            )
+            log_ratio = (
+                -jnp.float32(params.lambda_)
+                * (conf_star - conf_cur).astype(jnp.float32)
+                + logq_old
+                - logq_star
+            )
+            accept = (
+                jnp.log(
+                    jnp.maximum(
+                        jax.random.uniform(k_acc, (), dtype=jnp.float32),
+                        1e-30,
+                    )
+                )
+                < log_ratio
+            )
+            step = accept & ~done_now
+        else:
+            step = ~done_now
+        colors = jnp.where(step, star, colors)
+        taboo = jnp.where(done_now, taboo, new_taboo)
+        rip = rip + jnp.where(done_now, 0, 1)
+        return colors, taboo, key, rip, conf_cur, trace, done_now
+
+    colors, taboo, key, rip, conf_last, trace, done = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            colors0,
+            taboo0,
+            key,
+            jnp.int32(0),
+            jnp.int32(2**30),
+            trace0,
+            jnp.bool_(False),
+        ),
+    )
+    conflicts = jax.lax.cond(
+        done,
+        lambda: conf_last,
+        lambda: _conflict_edges_any(ell, colors),
+    )
     if params.tailcut:
         key, k_tc = jax.random.split(key)
         colors, conflicts, tc_rounds = _tailcut_any(

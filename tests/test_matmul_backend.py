@@ -1,0 +1,110 @@
+"""Dense-adjacency MXU backend (ops/dense_adj.py, mcmc backend='matmul').
+
+The matmul formulation must be *distribution-identical* to the gather
+paths: same occupancy, same proposal q, same inverse-CDF choice given the
+same uniforms.  On CPU this is testable bit-exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcmc_colorer_tpu.config import MCMCParams, ProposalKind
+from mcmc_colorer_tpu.models.base import check_coloring
+from mcmc_colorer_tpu.models.mcmc import (
+    MCMCColorer,
+    _conflict_edges,
+    _sweep,
+    _sweep_matmul,
+    _variant_distribution,
+)
+from mcmc_colorer_tpu.ops.dense_adj import (
+    build_dense_adjacency,
+    dense_adj_ok,
+    neighbor_color_counts,
+)
+from mcmc_colorer_tpu.ops.neighbor import color_histogram, neighbor_colors
+
+
+def _params(g, **kw):
+    kw.setdefault("proposal", ProposalKind.BALANCE_DYNAMIC)
+    return MCMCParams(n_colors=g.max_degree, **kw)
+
+
+def test_nc_matches_gather_counts(medium_er):
+    g = medium_er
+    ell = g.to_ell(pad_nodes_to=128)
+    n_col = g.max_degree
+    adj = build_dense_adjacency(g, ell.n_pad)
+    key = jax.random.key(3)
+    colors = jnp.where(
+        ell.node_mask,
+        jax.random.randint(key, (ell.n_pad,), 0, n_col, jnp.int32),
+        jnp.int32(n_col),
+    )
+    nc = neighbor_color_counts(adj, colors, n_col, ell.node_mask)
+    # per-row tally of gathered neighbor colors
+    ncg = neighbor_colors(ell.neighbors, jnp.where(ell.node_mask, colors, -1))
+    ref = jax.vmap(
+        lambda row: jnp.sum(
+            row[:, None] == jnp.arange(n_col)[None, :],
+            axis=0,
+            dtype=jnp.int32,
+        )
+    )(ncg)
+    assert np.array_equal(np.asarray(nc[:, :n_col]), np.asarray(ref))
+    assert not np.any(np.asarray(nc[:, n_col:]))  # padded columns zero
+
+
+def test_sweep_matmul_bitexact_vs_gather_sweep(medium_er):
+    """Same uniforms -> identical star colors, taboo and conflict count."""
+    g = medium_er
+    ell = g.to_ell(pad_nodes_to=128)
+    params = _params(g, taboo_iterations=3)
+    adj = build_dense_adjacency(g, ell.n_pad)
+    key = jax.random.key(9)
+    k_c, k_u = jax.random.split(key)
+    colors = jnp.where(
+        ell.node_mask,
+        jax.random.randint(k_c, (ell.n_pad,), 0, params.n_colors, jnp.int32),
+        jnp.int32(params.n_colors),
+    )
+    taboo = jnp.zeros((ell.n_pad,), jnp.int32)
+    unif = jax.random.uniform(k_u, (ell.n_pad,), dtype=jnp.float32)
+    hist = color_histogram(colors, params.n_colors, ell.node_mask)
+    p_eff = _variant_distribution(params, hist, g.n)
+
+    star_g, taboo_g, logq_g = _sweep(
+        ell, params, 128, colors, taboo, unif, p_eff
+    )
+    star_m, taboo_m, logq_m, conf_m, _nc = _sweep_matmul(
+        ell, adj, params, 128, colors, taboo, unif, p_eff
+    )
+    assert np.array_equal(np.asarray(star_g), np.asarray(star_m))
+    assert np.array_equal(np.asarray(taboo_g), np.asarray(taboo_m))
+    assert np.isclose(float(logq_g), float(logq_m), rtol=1e-6)
+    assert int(conf_m) == int(_conflict_edges(ell, colors))
+
+
+def test_chain_matmul_valid(medium_er):
+    c = MCMCColorer(
+        medium_er, _params(medium_er, tailcut=True), backend="matmul"
+    ).run(seed=21)
+    assert check_coloring(medium_er, c.colors)
+    assert c.extra["final_conflicts"] == 0
+
+
+def test_chain_matmul_hastings(small_er):
+    p = _params(small_er, hastings=True, tailcut=True)
+    c = MCMCColorer(small_er, p, backend="matmul").run(seed=5)
+    assert check_coloring(small_er, c.colors)
+
+
+def test_dense_adj_gates(small_er):
+    assert not dense_adj_ok(200_000)
+    assert not dense_adj_ok(1024, d_mean=3.0)  # tiny gather volume
+    assert dense_adj_ok(102_400, d_mean=1000.0)
+    with pytest.raises(ValueError):
+        MCMCColorer(
+            small_er, _params(small_er), backend="matmul", layout="bucketed"
+        )
