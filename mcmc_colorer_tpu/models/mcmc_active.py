@@ -83,9 +83,18 @@ class ActiveMCMCColorer:
         ladder; each bucket compiles its own kernel (expensive on the
         remote-compile TPU path — use a coarse ladder there)."""
         if params.hastings:
+            # Design note (SURVEY §9.2 / coloringMCMC_standard.cu:88-135):
+            # the Hastings ratio needs Σ log q over EVERY vertex of both
+            # the forward and reverse proposals.  The frontier sweep never
+            # materialises q for the passive set — its keep-dynamics are
+            # approximated by at most one ε-flip per sweep — so the exact
+            # ratio is undefined here.  MCMCColorer (full sweeps) and
+            # ShardedMCMCColorer with active_cap=None carry exact per-
+            # vertex qStar and support acceptance.
             raise NotImplementedError(
                 "active-set mode implements the shipped always-accept "
-                "dynamics; use MCMCColorer for Hastings"
+                "dynamics; use MCMCColorer or ShardedMCMCColorer "
+                "(active_cap=None) for Hastings"
             )
         self.graph = graph
         self.params = params

@@ -89,9 +89,16 @@ class ShardedMCMCColorer:
         multiple of 128).  When every shard's eligible frontier fits, the
         chain switches to frontier sweeps (see module docstring).  None
         disables active mode (every sweep is full)."""
-        if params.hastings:
+        if params.hastings and active_cap is not None:
+            # The frontier sweep approximates the passive vertices' keep
+            # dynamics with at most one ε-flip per sweep (see
+            # models/mcmc_active.py) — the proposal probability q of the
+            # passive set is never materialised, so the Hastings ratio
+            # q(old|new)/q(new|old) (coloringMCMC_standard.cu:88-135)
+            # cannot be computed exactly there.  Full sweeps carry the
+            # exact per-vertex qStar and support acceptance (below).
             raise NotImplementedError(
-                "Metropolis-Hastings acceptance is single-chip only for now"
+                "hastings=True requires full sweeps (active_cap=None)"
             )
         if backend == "auto":
             backend = (
@@ -180,21 +187,22 @@ class ShardedMCMCColorer:
         best_colors = colors[best]
         tc_rounds = 0
         if self.params.tailcut and conflicts[best] > 0:
-            # tail-cutting on the best chain via the single-chip machinery
-            from mcmc_colorer_tpu.models.mcmc import (
-                _conflict_edges,
-                _tailcut,
-            )
-
-            ell = self.graph.to_ell(pad_nodes_to=self.block)
-            pad = np.full(ell.n_pad, self.params.n_colors, np.int32)
+            # shard-resident tail-cutting of the best chain: reuses the
+            # sharded ELL rows in place (the round-1 version rebuilt a
+            # flat single-device rectangle on the host — at the 1M scale
+            # the sharded path exists for, that defeats sharding)
+            pad = np.full(self._n_pad, self.params.n_colors, np.int32)
             pad[: self.graph.n] = best_colors
-            cols = jnp.asarray(pad)
-            conf = _conflict_edges(ell, cols)
             cols, conf, tcr = jax.jit(
-                partial(_tailcut, params=self.params, block=self.block)
-            )(ell, cols, conf, rngu.for_iteration(root, 999_999))
-            best_colors = np.asarray(cols)[: self.graph.n]
+                partial(
+                    _run_tailcut_sharded,
+                    mesh=self.mesh,
+                    params=self.params,
+                    block=self.block,
+                    n_nodes=self.graph.n,
+                )
+            )(neighbors, jnp.asarray(pad), rngu.for_iteration(root, 999_999))
+            best_colors = np.asarray(jax.device_get(cols))[: self.graph.n]
             conflicts[best] = int(conf)
             tc_rounds = int(tcr)
 
@@ -348,7 +356,7 @@ def _run_sharded(
                         if p_eff is not None
                         else jnp.zeros((n_colors,), jnp.float32)
                     )
-                    star, _q, new_tb, _c = pallas_sweep(
+                    star, qstar, new_tb, _c = pallas_sweep(
                         nc_loc,
                         neigh_loc,
                         cur_loc,
@@ -362,7 +370,9 @@ def _run_sharded(
                     )
                     star = jnp.where(real_loc, star, cur_loc)
                     new_tb = jnp.where(real_loc, new_tb, 0)
-                    return star, new_tb, key
+                    qstar = jnp.where(real_loc, qstar, 1.0)
+                    logq = jnp.sum(jnp.log(jnp.maximum(qstar, 1e-30)))
+                    return star, new_tb, key, logq
 
                 n_blocks = n_loc // block
 
@@ -372,8 +382,13 @@ def _run_sharded(
                     occ = occupancy_matrix(nc, n_colors)
                     q = _proposal_q(cur_b, occ, params, p_eff, eps_eff)
                     chosen = _sample_cdf(q, u_b)
+                    qstar = jnp.take_along_axis(
+                        q, chosen[:, None], axis=1
+                    )[:, 0]
                     t_act = tb_b > 0
+                    keep_prob = 1.0 - (n_colors - 1) * eps_eff
                     chosen = jnp.where(t_act, cur_b, chosen)
+                    qstar = jnp.where(t_act, keep_prob, qstar)
                     new_tb = jnp.where(
                         t_act,
                         tb_b - 1,
@@ -384,7 +399,9 @@ def _run_sharded(
                         ),
                     )
                     chosen = jnp.where(real_b, chosen, cur_b)
-                    return chosen, new_tb
+                    qstar = jnp.where(real_b, qstar, 1.0)
+                    logq = jnp.sum(jnp.log(jnp.maximum(qstar, 1e-30)))
+                    return chosen, new_tb, logq
 
                 xs = (
                     neigh_loc.reshape(n_blocks, block, d_pad),
@@ -393,17 +410,113 @@ def _run_sharded(
                     u_loc.reshape(n_blocks, block),
                     real_loc.reshape(n_blocks, block),
                 )
-                star_b, tb_b = jax.lax.map(block_fn, xs)
-                return star_b.reshape(n_loc), tb_b.reshape(n_loc), key
+                star_b, tb_b, logq_b = jax.lax.map(block_fn, xs)
+                return (
+                    star_b.reshape(n_loc),
+                    tb_b.reshape(n_loc),
+                    key,
+                    jnp.sum(logq_b),
+                )
+
+            def reverse_logq_loc(cf, star_full):
+                """Σ log q(old | star) over the OWNED vertices — the
+                vectorized lookOldColoring (coloringMCMC_standard.cu:88-135)
+                per shard; the global sum is one psum away."""
+                star_ext = jnp.concatenate(
+                    [star_full, jnp.full((1,), -1, jnp.int32)]
+                )
+                cur_loc = jnp.take(cf, jnp.clip(self_gids, 0, n_pad - 1))
+                star_own = jnp.take(
+                    star_full, jnp.clip(self_gids, 0, n_pad - 1)
+                )
+                n_blocks = n_loc // block
+
+                def blk(xs):
+                    nb, cur_b, star_b, real_b = xs
+                    nc = jnp.take(star_ext, nb, axis=0)
+                    occ = occupancy_matrix(nc, n_colors)
+                    zn = jnp.sum(occ, axis=1, dtype=jnp.int32)
+                    zp = jnp.int32(n_colors) - zn
+                    cidx = jnp.clip(cur_b, 0, n_colors - 1)[:, None]
+                    sidx = jnp.clip(star_b, 0, n_colors - 1)[:, None]
+                    occ_star = jnp.take_along_axis(occ, sidx, axis=1)[:, 0]
+                    occ_cur = jnp.take_along_axis(occ, cidx, axis=1)[:, 0]
+                    move_q = jnp.where(
+                        occ_cur,
+                        eps_eff,
+                        (1.0 - eps_eff * zn.astype(jnp.float32))
+                        / jnp.maximum(zp, 1).astype(jnp.float32),
+                    )
+                    keep_q = jnp.where(
+                        star_b == cur_b,
+                        1.0 - (n_colors - 1) * eps_eff,
+                        eps_eff,
+                    )
+                    q_old = jnp.where(occ_star, move_q, keep_q)
+                    q_old = jnp.where(zp == 0, 1.0, q_old)
+                    q_old = jnp.where(real_b, q_old, 1.0)
+                    return jnp.sum(jnp.log(jnp.maximum(q_old, 1e-30)))
+
+                xs = (
+                    neigh_loc.reshape(n_blocks, block, d_pad),
+                    cur_loc.reshape(n_blocks, block),
+                    star_own.reshape(n_blocks, block),
+                    real_loc.reshape(n_blocks, block),
+                )
+                return jnp.sum(jax.lax.map(blk, xs))
 
             def full_branch(cf, tb, cnt_c, key):
                 """Full synchronous sweep + halo exchange + cnt recompute
-                (the recompute IS the conflict count's gather)."""
-                star_loc, new_tb, key = chain_sweep(cf, tb, key)
+                (the recompute IS the conflict count's gather).  With
+                ``hastings`` the λ-weighted acceptance gates the swap —
+                the shard-replicated chain key draws one uniform, so all
+                shards agree (coloringMCMC_main.cu:223-261, gated here
+                unlike the shipped reference, SURVEY §9.2)."""
+                star_loc, new_tb, key, logq_star_loc = chain_sweep(
+                    cf, tb, key
+                )
                 star_full = jax.lax.all_gather(
                     star_loc, "shards", axis=0, tiled=True
                 )
-                return star_full, new_tb, cnt_of(star_full), key
+                cnt_star = cnt_of(star_full)
+                if params.hastings:
+                    key, k_acc = jax.random.split(key)
+                    logq_star = jax.lax.psum(logq_star_loc, "shards")
+                    logq_old = jax.lax.psum(
+                        reverse_logq_loc(cf, star_full), "shards"
+                    )
+                    conf_old = (
+                        jax.lax.psum(
+                            jnp.sum(cnt_c, dtype=jnp.int32), "shards"
+                        )
+                        // 2
+                    )
+                    conf_star = (
+                        jax.lax.psum(
+                            jnp.sum(cnt_star, dtype=jnp.int32), "shards"
+                        )
+                        // 2
+                    )
+                    log_ratio = (
+                        -jnp.float32(params.lambda_)
+                        * (conf_star - conf_old).astype(jnp.float32)
+                        + logq_old
+                        - logq_star
+                    )
+                    accept = (
+                        jnp.log(
+                            jnp.maximum(
+                                jax.random.uniform(
+                                    k_acc, (), dtype=jnp.float32
+                                ),
+                                1e-30,
+                            )
+                        )
+                        < log_ratio
+                    )
+                    star_full = jnp.where(accept, star_full, cf)
+                    cnt_star = jnp.where(accept, cnt_star, cnt_c)
+                return star_full, new_tb, cnt_star, key
 
             def active_branch(cf, tb, cnt_c, key):
                 """Frontier sweep: resample only the ≤cap eligible owned
@@ -719,3 +832,179 @@ def _run_sharded(
         check_vma=False,
     )
     return mapped(neighbors, keys)
+
+
+# ------------------------------ sharded tailcut -----------------------------
+
+
+def _run_tailcut_sharded(
+    neighbors,     # [n_pad, d_pad] sharded P('shards', None)
+    colors_full,   # [n_pad] replicated (phantoms hold nCol)
+    key,
+    *,
+    mesh: Mesh,
+    params: MCMCParams,
+    block: int,
+    n_nodes: int,
+):
+    """Shard-resident tail-cutting epilogue.
+
+    Same rank-space independent-set greedy as models/mcmc._tailcut
+    (intended semantics of coloringMCMC_utils.cu:73-101), but each shard
+    works only on its OWNED ELL rows: per round one local neighbor gather,
+    a local first-fit, then two tiled all_gathers (movable flags, new
+    colors).  Replaces the round-1 escape hatch that rebuilt a flat
+    single-device ELL on the host — at 1M-node scale that rectangle is
+    exactly what sharding exists to avoid (VERDICT r1)."""
+    n_pad, d_pad = neighbors.shape
+    ms = mesh.shape["shards"]
+    n_loc = n_pad // ms
+    n_colors = params.n_colors
+
+    from mcmc_colorer_tpu.ops.pallas_firstfit import (
+        PALLAS_FF_MAX_ROWS,
+        pallas_palette_ok,
+    )
+
+    use_pallas = (
+        jax.default_backend() not in ("cpu", "gpu")
+        and pallas_palette_ok(n_colors)
+        and n_loc <= PALLAS_FF_MAX_ROWS
+    )
+    blk = block if n_loc % block == 0 else 128
+
+    def body_fn(neigh_loc, colors_full, key):
+        shard_id = jax.lax.axis_index("shards")
+        offset = shard_id.astype(jnp.int32) * jnp.int32(n_loc)
+        self_gids = offset + jnp.arange(n_loc, dtype=jnp.int32)
+        real_loc = self_gids < jnp.int32(n_nodes)
+        full_real = jnp.arange(n_pad, dtype=jnp.int32) < jnp.int32(n_nodes)
+
+        # rank-space relabel by ascending class size (identical on every
+        # shard: same replicated inputs, deterministic argsort)
+        hist = (
+            jnp.zeros((n_colors,), jnp.int32)
+            .at[jnp.where(full_real, colors_full, n_colors)]
+            .add(1, mode="drop")
+        )
+        ordered = jnp.argsort(hist).astype(jnp.int32)
+        rank = jnp.zeros((n_colors,), jnp.int32).at[ordered].set(
+            jnp.arange(n_colors, dtype=jnp.int32)
+        )
+        rank_ext = jnp.concatenate(
+            [rank, jnp.full((1,), n_colors, jnp.int32)]
+        )
+        cols_r = jnp.take(
+            rank_ext, jnp.clip(colors_full, 0, n_colors), axis=0
+        )
+        cols_r = jnp.where(full_real, cols_r, jnp.int32(n_colors))
+
+        def first_free(nc_r):
+            if use_pallas:
+                from mcmc_colorer_tpu.ops.pallas_firstfit import (
+                    pallas_first_fit,
+                )
+
+                return pallas_first_fit(
+                    nc_r,
+                    jnp.ones((n_colors,), jnp.int32),
+                    n_colors=n_colors,
+                    block=min(blk, 128),
+                )
+
+            def block_fn(xs):
+                (nc_blk,) = xs
+                occ = occupancy_matrix(nc_blk, n_colors)
+                found = jnp.any(~occ, axis=1)
+                k = jnp.argmax(~occ, axis=1).astype(jnp.int32)
+                return jnp.where(found, k, -1)
+
+            xs = (nc_r.reshape(n_loc // blk, blk, d_pad),)
+            return jax.lax.map(block_fn, xs).reshape(n_loc)
+
+        max_rounds = jnp.int32(n_nodes + 1000)
+
+        def body(carry):
+            cols_r_full, conf, rounds, _ = carry
+            cols_ext = jnp.concatenate(
+                [cols_r_full, jnp.full((1,), -1, jnp.int32)]
+            )
+            nc_r = jnp.take(cols_ext, neigh_loc, axis=0)
+            own = jnp.take(
+                cols_r_full, jnp.clip(self_gids, 0, n_pad - 1)
+            )
+            same = nc_r == own[:, None]
+            conf = (
+                jax.lax.psum(
+                    jnp.sum(
+                        same & (neigh_loc > self_gids[:, None]),
+                        dtype=jnp.int32,
+                    ),
+                    "shards",
+                )
+            )
+            flags = jnp.any(same, axis=1) & real_loc
+            cand_r = first_free(nc_r)
+            movable = flags & (cand_r >= 0)
+            movable_full = jax.lax.all_gather(
+                movable, "shards", axis=0, tiled=True
+            )
+            movable_ext = jnp.concatenate(
+                [movable_full, jnp.zeros((1,), jnp.bool_)]
+            )
+            lower_movable = jnp.any(
+                jnp.take(movable_ext, neigh_loc, axis=0)
+                & (neigh_loc < self_gids[:, None]),
+                axis=1,
+            )
+            active = movable & ~lower_movable
+            any_active = (
+                jax.lax.psum(
+                    jnp.sum(active.astype(jnp.int32)), "shards"
+                )
+                > 0
+            )
+            stalled = (conf > 0) & ~any_active
+            rnd = jax.random.randint(
+                jax.random.fold_in(
+                    jax.random.fold_in(key, rounds), shard_id
+                ),
+                (n_loc,),
+                0,
+                n_colors,
+                dtype=jnp.int32,
+            )
+            new_loc = jnp.where(
+                active, cand_r, jnp.where(stalled & flags, rnd, own)
+            )
+            new_full = jax.lax.all_gather(
+                new_loc, "shards", axis=0, tiled=True
+            )
+            return new_full, conf, rounds + 1, conf == 0
+
+        def cond(carry):
+            _, conf, rounds, done = carry
+            return (~done) & (rounds < max_rounds)
+
+        cols_r_out, conf, rounds, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (cols_r, jnp.int32(2**30), jnp.int32(0), jnp.bool_(False)),
+        )
+        ordered_ext = jnp.concatenate(
+            [ordered, jnp.full((1,), n_colors, jnp.int32)]
+        )
+        colors_out = jnp.take(
+            ordered_ext, jnp.clip(cols_r_out, 0, n_colors), axis=0
+        )
+        colors_out = jnp.where(full_real, colors_out, jnp.int32(n_colors))
+        return colors_out, conf, rounds
+
+    mapped = jax.shard_map(
+        body_fn,
+        mesh=mesh,
+        in_specs=(P("shards", None), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return mapped(neighbors, colors_full, key)

@@ -130,6 +130,45 @@ def test_sharded_active_matches_full_count(small_er):
     assert best.extra["final_conflicts"] == recount == 0
 
 
+def test_sharded_hastings(small_er):
+    """Metropolis-Hastings acceptance across the (chains, shards) mesh:
+    the λ-weighted ratio gates the swap identically on every shard (one
+    uniform from the shard-replicated chain key) and the run still
+    reaches a valid coloring via the tailcut epilogue."""
+    mesh = make_mesh(chains=2, shards=4)
+    p = _params(small_er, hastings=True, tailcut=True)
+    colorer = ShardedMCMCColorer(small_er, p, mesh, n_chains=2)
+    best, summaries = colorer.run(seed=41)
+    assert check_coloring(small_er, best.colors)
+    assert len(summaries) == 2
+
+
+def test_sharded_hastings_rejects_active(small_er):
+    """Frontier sweeps never materialise the passive set's q, so the
+    Hastings ratio is undefined there — must refuse loudly."""
+    mesh = make_mesh(chains=2, shards=4)
+    with pytest.raises(NotImplementedError):
+        ShardedMCMCColorer(
+            small_er,
+            _params(small_er, hastings=True),
+            mesh,
+            active_cap=128,
+        )
+
+
+def test_sharded_tailcut_stays_on_mesh(medium_er):
+    """The tailcut epilogue runs shard-resident (no flat single-device
+    ELL rebuild) and still zeroes the conflicts."""
+    from mcmc_colorer_tpu.parallel.sharded import _run_tailcut_sharded
+
+    mesh = make_mesh(chains=1, shards=4, devices=jax.devices()[:4])
+    p = MCMCParams(n_colors=max(3, medium_er.max_degree // 3), tailcut=True)
+    colorer = ShardedMCMCColorer(medium_er, p, mesh)
+    best, _ = colorer.run(seed=43)
+    assert check_coloring(medium_er, best.colors)
+    assert best.extra["final_conflicts"] == 0
+
+
 def test_sharded_annealing_runs(medium_er):
     mesh = make_mesh(chains=4, shards=2)
     p = MCMCParams(
