@@ -177,14 +177,6 @@ _ALGO_TAG = {
 
 
 def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
-    if args.active and args.layout == "bucketed":
-        print(
-            "--active does not support --layout bucketed yet; "
-            "use one or the other (the frontier colorers would build "
-            "the flat max-degree rectangle, defeating the layout).",
-            file=sys.stderr,
-        )
-        sys.exit(2)
     if kind == ColorerKind.MCMC_SEQ:
         from mcmc_colorer_tpu.models.mcmc_sequential import (
             SequentialMCMCColorer,
@@ -220,7 +212,9 @@ def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
         if args.active:
             from mcmc_colorer_tpu.models.mcmc_active import ActiveMCMCColorer
 
-            return ActiveMCMCColorer(g, params, backend=args.backend)
+            return ActiveMCMCColorer(
+                g, params, backend=args.backend, layout=args.layout
+            )
         from mcmc_colorer_tpu.models.mcmc import MCMCColorer
 
         return MCMCColorer(

@@ -51,11 +51,9 @@ class GreedyFFColorer:
         ``layout='bucketed'``: degree-bucketed rectangles (see
         models/mcmc.py MCMCColorer) — the speculative rounds gather
         Σ h_b·d_b ≈ 2m elements instead of n·maxDeg; required on skewed
-        graphs whose flat rectangle exceeds HBM."""
-        if active and layout == "bucketed":
-            raise NotImplementedError(
-                "frontier mode over the bucketed layout is not wired yet"
-            )
+        graphs whose flat rectangle exceeds HBM.  Composes with
+        ``active=True``: frontier rows are gathered per degree-class
+        slice (ops/neighbor.py:take_rows)."""
         self.graph = graph
         self.max_colors = graph.max_degree + 1
         self.block = block_size or choose_block_size(graph.n, self.max_colors)
@@ -89,7 +87,7 @@ class GreedyFFColorer:
             # the lower-id-wins conflict rule, markedly fewer used colors
             g2, perm = graph.degree_relabel(descending=True)
             self._perm = perm
-            self.ell = g2.to_ell_bucketed(
+            self.ell = ell if ell is not None else g2.to_ell_bucketed(
                 block=128,
                 min_lane=128 if backend == "pallas" else 8,
             )
@@ -306,25 +304,29 @@ def _gff_active_round(
     uncolored = (colors < 0) & ell.node_mask
     (ids,) = jnp.nonzero(uncolored, size=cap, fill_value=n_pad)
     valid = ids < n_pad
-    ids_c = jnp.minimum(ids, n_pad - 1)
-    rows = jnp.take(ell.neighbors, ids_c, axis=0)
-    rows = jnp.where(valid[:, None], rows, jnp.int32(n_pad))
+    from mcmc_colorer_tpu.ops.neighbor import take_rows
+
+    rows = take_rows(ell, ids, valid)
     nc = neighbor_colors(rows, colors)
     from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_palette_ok
 
+    # a vertex's first-fit color is <= its degree <= the gathered row
+    # width, so the palette truncates to d_out+1 — keeps the kernel's
+    # [block, palette] VMEM temporaries bounded on skewed graphs
+    pal = min(max_colors, rows.shape[1] + 1)
     # palette gate: maxDeg+1 colors can exceed the kernel's ~3k VMEM bound
     # on exactly the skewed graphs the frontier mode targets (ADVICE r1)
-    if backend == "pallas" and pallas_palette_ok(max_colors):
+    if backend == "pallas" and pallas_palette_ok(pal):
         from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_first_fit
 
         first_free = pallas_first_fit(
             nc,
-            jnp.ones((max_colors,), jnp.int32),
-            n_colors=max_colors,
+            jnp.ones((pal,), jnp.int32),
+            n_colors=pal,
             block=min(cap, 128),
         )
     else:
-        occ = occupancy_matrix(nc, max_colors)
+        occ = occupancy_matrix(nc, pal)
         first_free = jnp.argmax(~occ, axis=1).astype(jnp.int32)
     tentative = jnp.where(valid, first_free, jnp.int32(max_colors))
     colors_t = colors.at[ids].set(tentative, mode="drop")

@@ -51,11 +51,8 @@ class LubyColorer:
         device-resident loop gathers Σ h_b·d_b ≈ 2m elements per round
         instead of n·maxDeg (required on skewed graphs at scale).  The MIS
         rule is degree-based, so the relabeling does not change the
-        distribution of produced colorings."""
-        if active and layout == "bucketed":
-            raise NotImplementedError(
-                "frontier mode over the bucketed layout is not wired yet"
-            )
+        distribution of produced colorings.  Composes with ``active=True``
+        (frontier rows gathered per slice, ops/neighbor.py:take_rows)."""
         self.graph = graph
         self.active = active
         self.layout = layout
@@ -160,8 +157,9 @@ def _luby_active_round(ell: EllGraph, cands, is_set, key, *, cap: int):
     sel_full = (
         jnp.zeros((n_pad,), jnp.bool_).at[ids].set(sel, mode="drop")
     )
-    rows = jnp.take(ell.neighbors, ids_c, axis=0)
-    rows = jnp.where(valid[:, None], rows, jnp.int32(n_pad))
+    from mcmc_colorer_tpu.ops.neighbor import take_rows
+
+    rows = take_rows(ell, ids, valid)
     packed = jax.lax.shift_left(ell.degrees, 1) | sel_full.astype(jnp.int32)
     packed_ext = jnp.concatenate([packed, jnp.zeros((1,), jnp.int32)])
     nb = jnp.take(packed_ext, rows, axis=0)

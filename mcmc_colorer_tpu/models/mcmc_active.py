@@ -39,14 +39,20 @@ from mcmc_colorer_tpu.config import MCMCParams
 from mcmc_colorer_tpu.graph.container import EllGraph, Graph
 from mcmc_colorer_tpu.models.base import Coloring
 from mcmc_colorer_tpu.models.mcmc import (
+    _conflict_edges_any,
+    _is_bucketed,
     _needs_histogram,
-    _sweep,
-    _sweep_pallas_fused,
-    _tailcut,
+    _slice_vec,
+    _sweep_any,
+    _sweep_pallas_fused_any,
     _variant_distribution,
     choose_block_size,
 )
-from mcmc_colorer_tpu.ops.neighbor import color_histogram, neighbor_colors
+from mcmc_colorer_tpu.ops.neighbor import (
+    color_histogram,
+    neighbor_colors,
+    take_rows,
+)
 from mcmc_colorer_tpu.utils import rng as rngu
 
 
@@ -78,10 +84,18 @@ class ActiveMCMCColorer:
         backend: str = "auto",
         min_bucket: int = 128,
         bucket_factor: int = 4,
+        layout: str = "flat",
     ) -> None:
         """``min_bucket``/``bucket_factor`` control the active-capacity
         ladder; each bucket compiles its own kernel (expensive on the
-        remote-compile TPU path — use a coarse ladder there)."""
+        remote-compile TPU path — use a coarse ladder there).
+
+        ``layout='bucketed'``: degree-bucketed rectangles (see
+        models/mcmc.py MCMCColorer) — full-mode sweeps gather
+        Σ h_b·d_b ≈ 2m elements and frontier rows are gathered per
+        degree-class slice (ops/neighbor.py:take_rows), so the active-set
+        design composes with the layout required on skewed graphs at
+        scale (PERF.md round-2 roadmap item 2)."""
         if params.hastings:
             # Design note (SURVEY §9.2 / coloringMCMC_standard.cu:88-135):
             # the Hastings ratio needs Σ log q over EVERY vertex of both
@@ -106,12 +120,26 @@ class ActiveMCMCColorer:
                 else "xla"
             )
         self.backend = backend
+        self.layout = layout
         from mcmc_colorer_tpu.graph.container import degree_pad_for
 
-        self.ell = graph.to_ell(
-            pad_nodes_to=max(self.block, 128),
-            pad_degree_to=degree_pad_for(graph, backend),
-        )
+        if layout == "bucketed":
+            self.block = min(self.block, 2048)
+            g2, perm = graph.degree_relabel()
+            self._perm = perm
+            self.ell = g2.to_ell_bucketed(
+                block=128,
+                min_lane=128 if backend == "pallas" else 8,
+            )
+            self._pos = self.ell.real_positions()
+        elif layout == "flat":
+            self._perm = None
+            self.ell = graph.to_ell(
+                pad_nodes_to=max(self.block, 128),
+                pad_degree_to=degree_pad_for(graph, backend),
+            )
+        else:
+            raise ValueError(f"unknown layout {layout!r}")
         self._jit_cnt = jax.jit(partial(_cnt_of, params=params))
         self._jit_full = jax.jit(
             partial(
@@ -235,8 +263,14 @@ class ActiveMCMCColorer:
             )
 
         dur = (time.perf_counter() - t0) * 1e3
+        if self._perm is not None:
+            padded = np.asarray(jax.device_get(colors))
+            out_colors = np.empty(g.n, np.int32)
+            out_colors[self._perm] = padded[self._pos]
+        else:
+            out_colors = np.asarray(colors)[: g.n]
         return Coloring(
-            colors=np.asarray(colors)[: g.n],
+            colors=out_colors,
             n_colors=params.n_colors,
             iterations=rip,
             converged=conflicts <= z,
@@ -262,7 +296,17 @@ def _stats(cnt, taboo):
 
 
 def _cnt_of(ell: EllGraph, colors, *, params: MCMCParams):
-    """Full per-vertex same-color-neighbor counts (one full gather)."""
+    """Full per-vertex same-color-neighbor counts (one full gather;
+    per degree-class rectangle on the bucketed layout)."""
+    if _is_bucketed(ell):
+        parts = []
+        for s in ell.slices:
+            nc = neighbor_colors(s.neighbors, colors)
+            own = _slice_vec(colors, s.start, s.h_pad)
+            parts.append(
+                jnp.sum((nc == own[:, None]).astype(jnp.int32), axis=1)
+            )
+        return jnp.concatenate(parts)
     nc = neighbor_colors(ell.neighbors, colors)
     return jnp.sum((nc == colors[:, None]).astype(jnp.int32), axis=1)
 
@@ -288,16 +332,14 @@ def _full_iteration(
     )
     p_eff = _variant_distribution(params, hist, ell.n_nodes)
     if backend == "pallas":
-        star, new_taboo, _, conf = _sweep_pallas_fused(
+        star, new_taboo, _, conf = _sweep_pallas_fused_any(
             ell, params, block, colors, taboo, unif, p_eff
         )
     else:
-        star, new_taboo, _ = _sweep(
+        star, new_taboo, _ = _sweep_any(
             ell, params, block, colors, taboo, unif, p_eff
         )
-        from mcmc_colorer_tpu.models.mcmc import _conflict_edges
-
-        conf = _conflict_edges(ell, colors)
+        conf = _conflict_edges_any(ell, colors)
     return star, new_taboo, conf
 
 
@@ -314,7 +356,7 @@ def _active_iteration(
 ):
     """Resample the ≤cap active vertices; apply passive dynamics to the
     rest; maintain cnt incrementally."""
-    n_pad, d_pad = ell.neighbors.shape
+    n_pad = ell.n_pad
     n_colors = params.n_colors
     t_iter = jnp.int32(params.taboo_iterations)
     key, k_u, k_flip, k_fv, k_fc = jax.random.split(key, 5)
@@ -326,8 +368,7 @@ def _active_iteration(
     valid = active_ids < n_pad
     ids_c = jnp.minimum(active_ids, n_pad - 1)
 
-    rows = jnp.take(ell.neighbors, ids_c, axis=0)
-    rows = jnp.where(valid[:, None], rows, jnp.int32(n_pad))
+    rows = take_rows(ell, active_ids, valid)
     cur = jnp.where(
         valid, jnp.take(colors, ids_c), jnp.int32(n_colors)
     )
@@ -448,15 +489,14 @@ def _tailcut_round(
     no lower-id conflicting neighbor move to their first free color in
     ``ordered`` order; when a round can move nobody, the frontier is
     randomly recolored (unlock_stall).  cnt maintained incrementally."""
-    n_pad, d_pad = ell.neighbors.shape
+    n_pad = ell.n_pad
     n_colors = params.n_colors
 
     flagged = (cnt > 0) & ell.node_mask
     (ids,) = jnp.nonzero(flagged, size=cap, fill_value=n_pad)
     valid = ids < n_pad
     ids_c = jnp.minimum(ids, n_pad - 1)
-    rows = jnp.take(ell.neighbors, ids_c, axis=0)
-    rows = jnp.where(valid[:, None], rows, jnp.int32(n_pad))
+    rows = take_rows(ell, ids, valid)
     cur = jnp.where(valid, jnp.take(colors, ids_c), jnp.int32(n_colors))
     nc = neighbor_colors(rows, colors)
 

@@ -59,11 +59,8 @@ class VFFColorer:
 
         ``layout='bucketed'``: degree-bucketed rectangles (see
         models/mcmc.py) — both phases gather Σ h_b·d_b ≈ 2m elements per
-        round instead of n·maxDeg."""
-        if active and layout == "bucketed":
-            raise NotImplementedError(
-                "frontier mode over the bucketed layout is not wired yet"
-            )
+        round instead of n·maxDeg.  Composes with ``active=True``
+        (frontier rows gathered per slice, ops/neighbor.py:take_rows)."""
         self.graph = graph
         self.max_colors = graph.max_degree + 1
         self.block = block_size or choose_block_size(graph.n, self.max_colors)
@@ -148,6 +145,7 @@ class VFFColorer:
                 min_bucket=self._min_bucket,
                 bucket_factor=self._bucket_factor,
                 ell=self.ell,  # reuse — don't hold a second rectangle
+                layout=self.layout,
             )
         gff_colors, _ = self._gff._run_active()
         n_used = int(
@@ -243,8 +241,9 @@ def _vff_active_round(
     (ids,) = jnp.nonzero(unb, size=cap, fill_value=n_pad)
     valid = ids < n_pad
     ids_c = jnp.minimum(ids, n_pad - 1)
-    rows = jnp.take(ell.neighbors, ids_c, axis=0)
-    rows = jnp.where(valid[:, None], rows, jnp.int32(n_pad))
+    from mcmc_colorer_tpu.ops.neighbor import take_rows
+
+    rows = take_rows(ell, ids, valid)
     cur = jnp.where(
         valid, jnp.take(colors, ids_c), jnp.int32(max_colors)
     )

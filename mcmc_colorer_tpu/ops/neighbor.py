@@ -48,6 +48,46 @@ def occupancy_matrix(neigh_cols: jnp.ndarray, n_colors: int) -> jnp.ndarray:
     return occ.at[rows, neigh_cols].set(True, mode="drop")
 
 
+def take_rows(ell, ids: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Gather the adjacency rows of the given padded-global vertex ids.
+
+    Returns [cap, d_out] int32 padded-global neighbor ids; slots of
+    invalid rows and width padding hold the sentinel ``ell.n_pad``.
+
+    On the flat ELL this is one ``jnp.take``.  On the bucketed layout
+    (``BucketedEll``) each degree-class rectangle is gathered at its own
+    width and widened into the common output (total gather volume
+    cap·Σ_b d_b).  The frontier is small by construction, so paying the
+    max width per frontier row is immaterial next to the full sweep's
+    Σ h_b·d_b — this single helper is what composes every frontier
+    (active-set) colorer with the bucketed layout.
+    """
+    n_pad = ell.n_pad
+    ids_c = jnp.minimum(ids, n_pad - 1)
+    slices = getattr(ell, "slices", None)
+    if slices is None:
+        rows = jnp.take(ell.neighbors, ids_c, axis=0)
+        return jnp.where(valid[:, None], rows, jnp.int32(n_pad))
+    cap = ids.shape[0]
+    d_out = max(s.d_pad for s in slices)
+    out = jnp.full((cap, d_out), n_pad, jnp.int32)
+    for s in slices:
+        local = ids_c - s.start
+        in_s = valid & (local >= 0) & (local < s.h_pad)
+        lc = jnp.clip(local, 0, s.h_pad - 1)
+        rows_s = jnp.take(s.neighbors, lc, axis=0)
+        if s.d_pad < d_out:
+            rows_s = jnp.concatenate(
+                [
+                    rows_s,
+                    jnp.full((cap, d_out - s.d_pad), n_pad, jnp.int32),
+                ],
+                axis=1,
+            )
+        out = jnp.where(in_s[:, None], rows_s, out)
+    return out
+
+
 def color_histogram(
     colors: jnp.ndarray, n_colors: int, node_mask: jnp.ndarray | None = None
 ) -> jnp.ndarray:

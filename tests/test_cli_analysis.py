@@ -231,20 +231,17 @@ def test_per_iteration_speedups():
     assert abs(overall["MCMC_CPU/MCMC_TPU"][100] - 5.0) < 1e-9
 
 
-def test_cli_rejects_active_bucketed(tmp_path):
-    """--active builds the flat max-degree rectangle, defeating
-    --layout bucketed — the CLI must refuse the combination loudly
-    instead of silently dropping the layout."""
-    import pytest
-
+def test_cli_active_bucketed_runs(tmp_path):
+    """--active composes with --layout bucketed (round-2: per-slice
+    frontier row gathers) — the run must produce a valid coloring."""
     from mcmc_colorer_tpu.cli import main
 
-    with pytest.raises(SystemExit) as e:
-        main(
-            [
-                "--simulate", "0.2", "-n", "80", "--mcmcgpu",
-                "--active", "--layout", "bucketed",
-                "--quiet", "--outDir", str(tmp_path),
-            ]
-        )
-    assert e.value.code == 2
+    rc = main(
+        [
+            "--simulate", "0.2", "-n", "80", "--mcmcgpu",
+            "--active", "--layout", "bucketed", "--seed", "3",
+            "--check", "--quiet", "--outDir", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    assert list(tmp_path.glob("*-colors.txt"))

@@ -153,13 +153,45 @@ def test_bucketed_vff_valid_and_balanced(medium_er):
         assert r.class_stats()["std"] <= gff.class_stats()["std"] + 1e-6
 
 
-def test_bucketed_rejects_active_combo(small_er):
-    import pytest
+# ----------------- frontier x bucketed compositions -------------------------
+# (round-2: per-slice frontier row gathers, ops/neighbor.py:take_rows)
 
-    for cls, kw in (
-        (GreedyFFColorer, {}),
-        (LubyColorer, {}),
-        (VFFColorer, {}),
-    ):
-        with pytest.raises(NotImplementedError):
-            cls(small_er, active=True, layout="bucketed", **kw)
+
+def _ba_graph(n=2000, m=8, seed=1):
+    from mcmc_colorer_tpu.graph.generate import barabasi_albert
+
+    return barabasi_albert(n, m, seed=seed, use_native=False)
+
+
+def test_gff_active_bucketed_matches_full_bucketed(medium_er):
+    """Both variants share the descending relabel and the deterministic
+    first-fit + lower-id-wins rules, so the colorings match exactly."""
+    g = _ba_graph()
+    for graph in (medium_er, g):
+        full = GreedyFFColorer(graph, layout="bucketed").run()
+        act = GreedyFFColorer(graph, active=True, layout="bucketed").run()
+        assert np.array_equal(full.colors, act.colors)
+        assert act.iterations == full.iterations
+
+
+def test_vff_active_bucketed_valid(medium_er):
+    g = _ba_graph()
+    for graph in (medium_er, g):
+        r = VFFColorer(graph, active=True, layout="bucketed").run()
+        assert check_coloring(graph, r.colors)
+        assert int(np.max(r.colors)) < r.n_colors
+        full = VFFColorer(graph, layout="bucketed").run()
+        # phase 1 is deterministic and identical, so the palettes agree
+        assert r.n_colors == full.n_colors
+
+
+def test_luby_active_bucketed_valid_and_maximal():
+    g = _ba_graph()
+    r = LubyColorer(g, active=True, layout="bucketed").run(seed=5)
+    assert check_coloring(g, r.colors)
+    assert (r.colors >= 0).all() and (r.colors < r.n_colors).all()
+    assert r.n_colors <= g.max_degree + 1
+    in0 = r.colors == 0
+    for v in range(g.n):
+        if not in0[v]:
+            assert in0[g.neighbors_of(v)].any(), v

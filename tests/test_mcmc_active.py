@@ -78,3 +78,45 @@ def test_bucket_ladder_rounds_to_tile_multiples():
     assert caps[-1] == 4096
     assert pick_cap(caps, 1) == caps[0]
     assert pick_cap(caps, 4000) == 4096
+
+
+# ----------------- frontier x bucketed composition --------------------------
+
+
+def test_active_bucketed_converges_and_valid(medium_er):
+    p = _params(medium_er, proposal=ProposalKind.BALANCE_DYNAMIC,
+                taboo_iterations=2)
+    r = ActiveMCMCColorer(medium_er, p, layout="bucketed").run(seed=7)
+    assert r.extra["final_conflicts"] == 0
+    assert check_coloring(medium_er, r.colors)
+    assert r.conflict_trace[-1] == 0
+
+
+def test_active_bucketed_skewed_graph_with_tailcut():
+    """BA graph — the composition's target workload: frontier iterations
+    over per-degree-class rectangles, small palette forcing tailcut."""
+    from mcmc_colorer_tpu.graph.generate import barabasi_albert
+
+    g = barabasi_albert(3000, 8, seed=3, use_native=False)
+    p = MCMCParams(
+        n_colors=max(8, g.max_degree // 4),
+        proposal=ProposalKind.BALANCE_DYNAMIC,
+        tailcut=True,
+    )
+    r = ActiveMCMCColorer(g, p, layout="bucketed").run(seed=11)
+    assert r.extra["final_conflicts"] == 0
+    assert check_coloring(g, r.colors)
+
+
+def test_active_bucketed_matches_flat_statistically(medium_er):
+    p = _params(medium_er)
+    seeds = [2, 9, 27]
+    flat = [ActiveMCMCColorer(medium_er, p).run(seed=s) for s in seeds]
+    buck = [
+        ActiveMCMCColorer(medium_er, p, layout="bucketed").run(seed=s)
+        for s in seeds
+    ]
+    fu = np.mean([r.used_colors for r in flat])
+    bu = np.mean([r.used_colors for r in buck])
+    assert abs(fu - bu) <= 0.15 * max(fu, bu)
+    assert all(r.extra["final_conflicts"] == 0 for r in buck)
