@@ -59,6 +59,33 @@ from mcmc_colorer_tpu.ops.neighbor import occupancy_matrix
 from mcmc_colorer_tpu.utils import rng as rngu
 
 
+def _put_global(arr, sharding) -> jax.Array:
+    """Lay a host array out under ``sharding``.  Works when the sharding
+    spans other processes' devices (multi-host), where plain `device_put`
+    refuses: every process holds the same full array and contributes its
+    addressable shards."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    # global_shape MUST be given: every process passes the full array, and
+    # without it the helper would infer a per-process-concatenated shape
+    return jax.make_array_from_process_local_data(
+        sharding, arr, global_shape=arr.shape
+    )
+
+
+def _host_get(x) -> np.ndarray:
+    """Bring a (possibly multi-process global) array to THIS host.  In a
+    multi-host run, shards living on other processes' devices are not
+    addressable locally — `process_allgather` replicates them over DCN
+    first (the multi-host rendition of the reference's D2H copies)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
 @dataclass(frozen=True)
 class AnnealConfig:
     """Pooled ε-annealing: if the pooled mean conflict count improves by
@@ -141,9 +168,18 @@ class ShardedMCMCColorer:
                 n_loc_final, ((max(active_cap, 1) + 127) // 128) * 128
             )
         self.active_cap = active_cap
-        self._jit_run = jax.jit(
+        self._jit_init = jax.jit(
             partial(
-                _run_sharded,
+                _sharded_init,
+                mesh=mesh,
+                params=params,
+                chains_per_dev=cl,
+                n_nodes=graph.n,
+            )
+        )
+        self._jit_segment = jax.jit(
+            partial(
+                _run_sharded_segment,
                 mesh=mesh,
                 params=params,
                 block=self.block,
@@ -152,27 +188,136 @@ class ShardedMCMCColorer:
                 n_nodes=graph.n,
                 backend=backend,
                 active_cap=active_cap,
-            ),
-            static_argnames=(),
+            )
         )
 
-    def run(self, seed: int, repetition: int = 0):
-        """Returns (best Coloring [tailcut applied if configured],
-        per-chain summaries)."""
+    # ---- ensemble state plumbing -----------------------------------------
+
+    _STATE_FIELDS = (
+        "colors", "taboo", "cnt", "keydata", "rip",
+        "conflicts", "trace", "eps_scale", "prev_pooled", "stall",
+    )
+
+    def _state_shardings(self):
+        NS = partial(NamedSharding, self.mesh)
+        return (
+            NS(P("chains", None)),
+            NS(P("chains", "shards")),
+            NS(P("chains", "shards")),
+            NS(P("chains", None)),
+            NS(P()),
+            NS(P("chains")),
+            NS(P("chains", None)),
+            NS(P()),
+            NS(P()),
+            NS(P()),
+        )
+
+    def _sharded_neighbors(self):
+        return _put_global(
+            np.asarray(self.ell.neighbors),
+            NamedSharding(self.mesh, P("shards", None)),
+        )
+
+    def init_state(self, seed: int, repetition: int = 0):
+        """Fresh ensemble state (the 10-tuple of `_sharded_init`)."""
         root = rngu.for_repetition(rngu.root_key(seed), repetition)
         keys = jax.vmap(lambda c: rngu.for_chain(root, c))(
             jnp.arange(self.n_chains, dtype=jnp.uint32)
         )
-        keys = jax.device_put(keys, NamedSharding(self.mesh, P("chains")))
-        neighbors = jax.device_put(
-            self.ell.neighbors, NamedSharding(self.mesh, P("shards", None))
+        keydata = _put_global(
+            np.asarray(jax.vmap(jax.random.key_data)(keys)),
+            NamedSharding(self.mesh, P("chains", None)),
         )
+        return self._jit_init(self._sharded_neighbors(), keydata)
+
+    def save_checkpoint(self, state, path: str) -> None:
+        """Checkpoint the whole (chains, shards) ensemble to an ``.npz``.
+        Multi-process safe: non-addressable shards are allgathered to
+        every host first, so any host's file is complete."""
+        d = {
+            name: _host_get(x)
+            for name, x in zip(self._STATE_FIELDS, state)
+        }
+        d["n_nodes"] = self.graph.n
+        d["n_colors"] = self.params.n_colors
+        d["n_chains"] = self.n_chains
+        np.savez(path, **d)
+
+    def load_checkpoint(self, path: str):
+        """Rebuild device-resident ensemble state from an ``.npz``; the
+        mesh geometry may differ from the writer's (state re-shards)."""
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        d = np.load(path)
+        assert int(d["n_nodes"]) == self.graph.n, "graph mismatch"
+        assert int(d["n_colors"]) == self.params.n_colors, "palette mismatch"
+        assert int(d["n_chains"]) == self.n_chains, "chain-count mismatch"
+
+        def repad(name, a):
+            # mesh geometries pad the vertex axis differently; slots past
+            # the real vertices are phantoms (color nCol, taboo/cnt 0), so
+            # trimming/extending them is exact
+            if name not in ("colors", "taboo", "cnt"):
+                return a
+            want = self._n_pad
+            if a.shape[1] == want:
+                return a
+            fill = self.params.n_colors if name == "colors" else 0
+            out = np.full((a.shape[0], want), fill, a.dtype)
+            keep = min(want, a.shape[1])
+            out[:, :keep] = a[:, :keep]
+            return out
+
+        return tuple(
+            _put_global(repad(name, d[name]), sh)
+            for name, sh in zip(self._STATE_FIELDS, self._state_shardings())
+        )
+
+    def run(
+        self,
+        seed: int,
+        repetition: int = 0,
+        segment: int | None = None,
+        checkpoint_path: str | None = None,
+        resume_from: str | None = None,
+    ):
+        """Returns (best Coloring [tailcut applied if configured],
+        per-chain summaries).
+
+        ``segment``/``checkpoint_path``/``resume_from`` drive the loop in
+        host-visible segments with periodic ensemble checkpoints (the
+        reference has no checkpointing at all, SURVEY §6; segments reuse
+        ONE compiled program since the limit is a traced scalar)."""
+        root = rngu.for_repetition(rngu.root_key(seed), repetition)
+        neighbors = self._sharded_neighbors()
         t0 = time.perf_counter()
-        colors, rip, conflicts, traces, eps_scale = self._jit_run(
-            neighbors, keys
+        if resume_from:
+            state = self.load_checkpoint(resume_from)
+        else:
+            state = self.init_state(seed, repetition)
+        z = self.params.tailcut_threshold(self.graph.n)
+        maxr = self.params.max_iterations
+        if segment is None and checkpoint_path is None:
+            state = self._jit_segment(neighbors, state, jnp.int32(maxr))
+        else:
+            seg = segment or 50
+            while True:
+                rip_h = int(_host_get(state[4]))
+                if rip_h >= maxr or not (_host_get(state[5]) > z).any():
+                    break
+                state = self._jit_segment(
+                    neighbors, state, jnp.int32(min(rip_h + seg, maxr))
+                )
+                if checkpoint_path:
+                    self.save_checkpoint(state, checkpoint_path)
+        colors, rip, conflicts, traces, eps_scale = (
+            state[0], state[4], state[5], state[6], state[7]
         )
-        colors = np.asarray(jax.device_get(colors))[:, : self.graph.n]
-        conflicts = np.array(conflicts, copy=True)
+        colors = _host_get(colors)[:, : self.graph.n]
+        conflicts = _host_get(conflicts).copy()
+        traces = _host_get(traces)
+        rip = int(_host_get(rip))
         dur = (time.perf_counter() - t0) * 1e3
 
         stds = np.array(
@@ -202,7 +347,7 @@ class ShardedMCMCColorer:
                     n_nodes=self.graph.n,
                 )
             )(neighbors, jnp.asarray(pad), rngu.for_iteration(root, 999_999))
-            best_colors = np.asarray(jax.device_get(cols))[: self.graph.n]
+            best_colors = _host_get(cols)[: self.graph.n]
             conflicts[best] = int(conf)
             tc_rounds = int(tcr)
 
@@ -217,13 +362,13 @@ class ShardedMCMCColorer:
         coloring = Coloring(
             colors=best_colors,
             n_colors=self.params.n_colors,
-            iterations=int(rip),
+            iterations=rip,
             converged=int(conflicts[best]) <= max(z, 0),
             duration_ms=dur,
-            conflict_trace=np.asarray(traces[best])[: int(rip) + 1],
+            conflict_trace=np.asarray(traces[best])[: rip + 1],
             extra={
                 "final_conflicts": int(conflicts[best]),
-                "max_iter_reached": int(rip) >= self.params.max_iterations,
+                "max_iter_reached": rip >= self.params.max_iterations,
                 "best_chain": best,
                 "n_chains": self.n_chains,
                 "tailcut_rounds": tc_rounds,
@@ -236,9 +381,10 @@ class ShardedMCMCColorer:
 # ------------------------------ shard_map body -----------------------------
 
 
-def _run_sharded(
-    neighbors,  # [n_pad, d_pad] sharded P('shards', None)
-    keys,       # [C] sharded P('chains')
+def _run_sharded_segment(
+    neighbors,   # [n_pad, d_pad] sharded P('shards', None)
+    state,       # ShardedState pytree (see _sharded_init for shardings)
+    rip_limit,   # int32 scalar (replicated): stop when rip reaches it
     *,
     mesh: Mesh,
     params: MCMCParams,
@@ -249,6 +395,11 @@ def _run_sharded(
     backend: str = "xla",
     active_cap: int | None = None,
 ):
+    """Advance the sharded ensemble from ``state`` until every chain
+    converged or ``rip`` reaches ``rip_limit`` (a traced scalar — ONE
+    compiled program serves every segment length).  Segmenting the loop at
+    a jit boundary is what enables host-visible checkpoint/resume of the
+    whole (chains, shards) ensemble."""
     n_pad, d_pad = neighbors.shape
     ms = mesh.shape["shards"]
     n_loc = n_pad // ms
@@ -258,22 +409,29 @@ def _run_sharded(
     z = jnp.int32(params.tailcut_threshold(n_nodes))
     eps_cap = 0.4 / max(n_colors - 1, 1)
 
-    def body_fn(neigh_loc, keys_loc):
+    def body_fn(
+        neigh_loc,
+        colors0,
+        taboo0,
+        cnt0,
+        keydata0,
+        rip0,
+        conflicts0,
+        trace0,
+        eps0,
+        pp0,
+        stall0,
+        rip_lim,
+    ):
         shard_id = jax.lax.axis_index("shards")
         offset = shard_id.astype(jnp.int32) * jnp.int32(n_loc)
         self_gids = offset + jnp.arange(n_loc, dtype=jnp.int32)
         real_loc = self_gids < jnp.int32(n_nodes)
         full_real = jnp.arange(n_pad, dtype=jnp.int32) < jnp.int32(n_nodes)
 
-        def init_chain(key):
-            k_init, k_loop = jax.random.split(key)
-            u = jax.random.uniform(k_init, (n_pad,), dtype=jnp.float32)
-            cols = jnp.minimum(
-                (u * n_colors).astype(jnp.int32), n_colors - 1
-            )
-            return jnp.where(full_real, cols, jnp.int32(n_colors)), k_loop
-
-        colors0, loop_keys = jax.vmap(init_chain)(keys_loc)  # [cl, n_pad]
+        # PRNG keys cross the shard_map boundary as raw uint32 key data
+        # (checkpointable with plain npz; avoids extended-dtype specs)
+        loop_keys = jax.vmap(jax.random.wrap_key_data)(keydata0)
 
         def cnt_of(cf):
             """[n_loc] same-color-neighbor counts of the owned vertices
@@ -290,20 +448,17 @@ def _run_sharded(
             local = jnp.sum(cnt, axis=1, dtype=jnp.int32)
             return jax.lax.psum(local, "shards") // 2
 
-        cnt0 = jax.vmap(cnt_of)(colors0)  # [cl, n_loc]
-        conflicts0 = conflicts_from_cnt(cnt0)
-        taboo0 = jnp.zeros((cl, n_loc), jnp.int32)
-        trace0 = jnp.full(
-            (cl, params.max_iterations + 1), -1, jnp.int32
-        )
-        trace0 = trace0.at[:, 0].set(conflicts0)
         undone0 = jax.lax.psum(
             jnp.sum((conflicts0 > z).astype(jnp.int32)), "chains"
         )
 
         def cond(carry):
             (_, _, _, _, rip, conflicts, _, undone, *_a) = carry
-            return (undone > 0) & (rip < jnp.int32(params.max_iterations))
+            return (
+                (undone > 0)
+                & (rip < rip_lim)
+                & (rip < jnp.int32(params.max_iterations))
+            )
 
         def loop_body(carry):
             (
@@ -795,43 +950,147 @@ def _run_sharded(
             taboo0,
             cnt0,
             loop_keys,
-            jnp.int32(0),
+            rip0,
             conflicts0,
             trace0,
             undone0,
-            jnp.float32(1.0),
-            jnp.float32(1e30),
-            jnp.int32(0),
+            eps0,
+            pp0,
+            stall0,
         )
         (
             colors_full,
-            _taboo,
-            _cnt,
-            _ks,
+            taboo_out,
+            cnt_out,
+            ks_out,
             rip,
             conflicts,
             trace,
             _undone,
             eps_scale,
-            _pp,
-            _st,
+            pp_out,
+            stall_out,
         ) = jax.lax.while_loop(cond, loop_body, init)
-        return colors_full, rip, conflicts, trace, eps_scale
+        return (
+            colors_full,
+            taboo_out,
+            cnt_out,
+            jax.vmap(jax.random.key_data)(ks_out),
+            rip,
+            conflicts,
+            trace,
+            eps_scale,
+            pp_out,
+            stall_out,
+        )
+
+    state_specs = (
+        P("chains", None),       # colors [C, n_pad]
+        P("chains", "shards"),   # taboo  [C, n_pad]
+        P("chains", "shards"),   # cnt    [C, n_pad]
+        P("chains", None),       # key data [C, 2]
+        P(),                     # rip
+        P("chains"),             # conflicts [C]
+        P("chains", None),       # trace [C, maxRip+1]
+        P(),                     # eps_scale
+        P(),                     # prev_pooled
+        P(),                     # stall
+    )
+    mapped = jax.shard_map(
+        body_fn,
+        mesh=mesh,
+        in_specs=(P("shards", None),) + state_specs + (P(),),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    return mapped(neighbors, *state, rip_limit)
+
+
+def _sharded_init(
+    neighbors,  # [n_pad, d_pad] sharded P('shards', None)
+    keydata,    # [C, 2] uint32 key data, sharded P('chains', None)
+    *,
+    mesh: Mesh,
+    params: MCMCParams,
+    chains_per_dev: int,
+    n_nodes: int,
+):
+    """Initial ensemble state (random colorings, counts, trace row 0) as a
+    10-tuple matching `_run_sharded_segment`'s state specs."""
+    n_pad, _ = neighbors.shape
+    ms = mesh.shape["shards"]
+    n_loc = n_pad // ms
+    cl = chains_per_dev
+    n_colors = params.n_colors
+
+    def body_fn(neigh_loc, keydata_loc):
+        keys_loc = jax.vmap(jax.random.wrap_key_data)(keydata_loc)
+        shard_id = jax.lax.axis_index("shards")
+        offset = shard_id.astype(jnp.int32) * jnp.int32(n_loc)
+        self_gids = offset + jnp.arange(n_loc, dtype=jnp.int32)
+        full_real = jnp.arange(n_pad, dtype=jnp.int32) < jnp.int32(n_nodes)
+
+        def init_chain(key):
+            k_init, k_loop = jax.random.split(key)
+            u = jax.random.uniform(k_init, (n_pad,), dtype=jnp.float32)
+            cols = jnp.minimum(
+                (u * n_colors).astype(jnp.int32), n_colors - 1
+            )
+            return jnp.where(full_real, cols, jnp.int32(n_colors)), k_loop
+
+        colors0, loop_keys = jax.vmap(init_chain)(keys_loc)  # [cl, n_pad]
+
+        def cnt_of(cf):
+            cf_ext = jnp.concatenate([cf, jnp.full((1,), -1, jnp.int32)])
+            nc = jnp.take(cf_ext, neigh_loc, axis=0)
+            own = jnp.take(cf, jnp.clip(self_gids, 0, n_pad - 1))
+            return jnp.sum((nc == own[:, None]).astype(jnp.int32), axis=1)
+
+        cnt0 = jax.vmap(cnt_of)(colors0)  # [cl, n_loc]
+        conflicts0 = jax.lax.psum(
+            jnp.sum(cnt0, axis=1, dtype=jnp.int32), "shards"
+        ) // 2
+        taboo0 = jnp.zeros((cl, n_loc), jnp.int32)
+        trace0 = jnp.full((cl, params.max_iterations + 1), -1, jnp.int32)
+        trace0 = trace0.at[:, 0].set(conflicts0)
+        return (
+            colors0,
+            taboo0,
+            cnt0,
+            jax.vmap(jax.random.key_data)(loop_keys),
+            conflicts0,
+            trace0,
+        )
 
     mapped = jax.shard_map(
         body_fn,
         mesh=mesh,
-        in_specs=(P("shards", None), P("chains")),
+        in_specs=(P("shards", None), P("chains", None)),
         out_specs=(
             P("chains", None),
-            P(),
+            P("chains", "shards"),
+            P("chains", "shards"),
+            P("chains", None),
             P("chains"),
             P("chains", None),
-            P(),
         ),
         check_vma=False,
     )
-    return mapped(neighbors, keys)
+    colors0, taboo0, cnt0, keydata0, conflicts0, trace0 = mapped(
+        neighbors, keydata
+    )
+    return (
+        colors0,
+        taboo0,
+        cnt0,
+        keydata0,
+        jnp.int32(0),
+        conflicts0,
+        trace0,
+        jnp.float32(1.0),
+        jnp.float32(1e30),
+        jnp.int32(0),
+    )
 
 
 # ------------------------------ sharded tailcut -----------------------------
