@@ -26,11 +26,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pallas_palette_ok(n_colors: int) -> bool:
-    """Whether the first-fit/resample kernels' [block, paletted] VMEM
-    temporaries fit the 16 MB scoped-vmem budget at block=128.  Measured:
-    2304-color palettes compile and run; 4992 overflows by ~3.5 MB
-    (PERF.md).  Callers fall back to the XLA occupancy path beyond this."""
-    return _round_up(n_colors, 128) <= 3072
+    """Whether the first-fit/resample kernels can serve this palette.
+
+    The single-pass kernels' [block, paletted] VMEM temporaries cap at
+    ~3072 colors (measured: 2304 runs, 4992 overflows — PERF.md); above
+    that both kernels switch to the chunked color walk
+    (pallas_resample._occ_words_chunked) whose VMEM high-water is
+    O(chunk) + the packed words, so the bound is now only the words
+    buffer — capped generously here."""
+    return _round_up(n_colors, 128) <= 32768
 
 
 # Empirical (round 1): the first-fit kernel inside a lax.while_loop faults
@@ -93,6 +97,50 @@ def _kernel(
     out_ref[0:rows, :] = out.reshape(rows, 128)
 
 
+def _kernel_chunked(
+    nc_ref,      # [B, d_pad] int32 neighbor colors (-1 padding)
+    cur_ref,     # [8, 128] int32 tile: own color to exclude (-1 = none)
+    allow_ref,   # [n_chunks, chunk] int32 (1 = admissible target color)
+    out_ref,     # [8, 128] int32 tile: smallest free∧allowed color or -1
+    *,
+    n_colors: int,
+    n_col_pad: int,
+):
+    """Wide-palette first-fit: a running min over _COLOR_CHUNK-wide color
+    windows inside a fori_loop (the loop bounds VMEM — see
+    pallas_resample's chunked-section note)."""
+    from mcmc_colorer_tpu.ops.pallas_resample import _COLOR_CHUNK, _occ_chunk
+
+    chunk = _COLOR_CHUNK
+    nc = nc_ref[:]
+    b = nc.shape[0]
+    rows = b // 128
+    cur = cur_ref[0:rows, :].reshape(b)
+    big = jnp.int32(n_col_pad)
+
+    def body(k, cand):
+        occk = _occ_chunk(nc, k, chunk)
+        colk = k * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (b, chunk), 1
+        )
+        allowk = allow_ref[k, :]  # dynamic sublane read
+        eligible = (
+            (~occk)
+            & (colk < n_colors)
+            & (allowk[None, :] != 0)
+            & (colk != cur[:, None])
+        )
+        return jnp.minimum(
+            cand, jnp.min(jnp.where(eligible, colk, big), axis=1)
+        )
+
+    cand = jax.lax.fori_loop(
+        0, n_col_pad // chunk, body, jnp.full((b,), big, jnp.int32)
+    )
+    out = jnp.where(cand >= n_colors, jnp.int32(-1), cand)
+    out_ref[0:rows, :] = out.reshape(rows, 128)
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_colors", "block", "interpret")
 )
@@ -112,12 +160,30 @@ def pallas_first_fit(
     n_pad, d_pad = nc.shape
     assert n_pad % block == 0 and block % 128 == 0
     n_col_pad = _round_up(n_colors, 128)
-    from mcmc_colorer_tpu.ops.pallas_resample import _vec_pack, _vec_unpack
+    chunked = n_col_pad > 3072  # single-pass VMEM bound (PERF.md)
+    from mcmc_colorer_tpu.ops.pallas_resample import (
+        _COLOR_CHUNK,
+        _vec_pack,
+        _vec_unpack,
+    )
+
+    if chunked:
+        n_col_pad = _round_up(n_col_pad, _COLOR_CHUNK)
     allow_pad = jnp.zeros((1, n_col_pad), jnp.int32)
     allow_pad = allow_pad.at[0, :n_colors].set(allow.astype(jnp.int32))
+    if chunked:
+        # per-chunk rows so the kernel's slice is a dynamic SUBLANE read
+        allow_pad = allow_pad.reshape(
+            n_col_pad // _COLOR_CHUNK, _COLOR_CHUNK
+        )
+    allow_spec = pl.BlockSpec(
+        allow_pad.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, n_colors=n_colors, n_col_pad=n_col_pad
+            _kernel_chunked if chunked else _kernel,
+            n_colors=n_colors,
+            n_col_pad=n_col_pad,
         ),
         grid=(n_pad // block,),
         in_specs=[
@@ -127,9 +193,7 @@ def pallas_first_fit(
             pl.BlockSpec(
                 (8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (1, n_col_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
+            allow_spec,
         ],
         out_specs=pl.BlockSpec(
             (8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM

@@ -59,3 +59,43 @@ def test_vff_backends_agree(medium_er):
     b = VFFColorer(medium_er, backend="pallas").run()
     assert check_coloring(medium_er, b.colors)
     assert np.array_equal(a.colors, b.colors)
+
+
+def test_chunked_first_fit_wide_palette():
+    """Wide palettes (> 3072) route through the chunked first-fit kernel;
+    compare against a numpy reference over random rows, with an allow
+    mask and own-color exclusion."""
+    import numpy as np
+
+    from mcmc_colorer_tpu.ops.pallas_firstfit import (
+        pallas_first_fit,
+        pallas_palette_ok,
+    )
+
+    assert pallas_palette_ok(4500) and pallas_palette_ok(20000)
+    assert not pallas_palette_ok(40000)
+    rng = np.random.default_rng(11)
+    n_pad, d_pad, n_colors = 256, 40, 4500
+    nc = rng.integers(-1, n_colors, size=(n_pad, d_pad), dtype=np.int32)
+    allow = rng.integers(0, 2, size=(n_colors,), dtype=np.int32)
+    allow[:64] = 0  # force some first-fits deep into the palette
+    cur = rng.integers(-1, n_colors, size=(n_pad,), dtype=np.int32)
+    got = np.asarray(
+        pallas_first_fit(
+            jnp.asarray(nc),
+            jnp.asarray(allow),
+            n_colors=n_colors,
+            block=128,
+            cur=jnp.asarray(cur),
+            interpret=True,
+        )
+    )
+    for v in range(n_pad):
+        occ = np.zeros(n_colors, bool)
+        row = nc[v][(nc[v] >= 0) & (nc[v] < n_colors)]
+        occ[row] = True
+        elig = ~occ & (allow != 0)
+        if 0 <= cur[v] < n_colors:
+            elig[cur[v]] = False
+        want = int(np.argmax(elig)) if elig.any() else -1
+        assert got[v] == want, (v, got[v], want)

@@ -125,3 +125,87 @@ def test_or_reduce_cols_all_widths():
         got = np.asarray(_or_reduce_cols(jnp.asarray(x)))
         want = np.bitwise_or.reduce(x, axis=1, keepdims=True)
         assert np.array_equal(got, want), d
+
+
+# ------------------- chunked color axis (wide palettes) ---------------------
+
+
+@pytest.mark.parametrize(
+    "kind",
+    [
+        ProposalKind.STANDARD,
+        ProposalKind.BALANCE_DYNAMIC,
+        ProposalKind.DECREASE_EXP,
+    ],
+)
+def test_chunked_kernel_wide_palette_matches_xla(kind):
+    """Palettes beyond the single-pass ~3k VMEM bound route through the
+    chunked color walk — it must reproduce the XLA sweep exactly (same
+    formulas, same uniforms)."""
+    from mcmc_colorer_tpu.graph.generate import erdos_renyi
+
+    g = erdos_renyi(512, 0.05, seed=3, use_native=False)
+    params = MCMCParams(
+        n_colors=4500,  # n_col_pad 4608 > 3072 -> chunked path
+        proposal=kind,
+        taboo_iterations=2,
+        epsilon=1e-6,
+    )
+    block = 128
+    ell = g.to_ell(pad_nodes_to=block)
+    n_pad = ell.n_pad
+    k1, k2, k3 = jax.random.split(jax.random.key(7), 3)
+    colors = jnp.where(
+        ell.node_mask,
+        jax.random.randint(k1, (n_pad,), 0, params.n_colors, jnp.int32),
+        jnp.int32(params.n_colors),
+    )
+    taboo = jax.random.randint(k2, (n_pad,), 0, 2, jnp.int32)
+    unif = jax.random.uniform(k3, (n_pad,), dtype=jnp.float32)
+    hist = (
+        color_histogram(colors, params.n_colors, ell.node_mask)
+        if _needs_histogram(params)
+        else None
+    )
+    p_eff = _variant_distribution(params, hist, ell.n_nodes)
+    star_x, taboo_x, _ = _sweep(
+        ell, params, block, colors, taboo, unif, p_eff
+    )
+    nc = neighbor_colors(ell.neighbors, colors)
+    p_eff_arr = (
+        p_eff
+        if p_eff is not None
+        else jnp.zeros((params.n_colors,), jnp.float32)
+    )
+    star_p, qstar_p, taboo_p, conf_p = pallas_sweep(
+        nc,
+        ell.neighbors,
+        colors,
+        taboo,
+        unif,
+        p_eff_arr,
+        jnp.float32(params.epsilon),
+        params=params,
+        block=block,
+        interpret=True,
+    )
+    real = np.asarray(ell.node_mask)
+    assert np.array_equal(
+        np.asarray(star_p)[real], np.asarray(star_x)[real]
+    )
+    assert np.array_equal(
+        np.asarray(taboo_p)[real], np.asarray(taboo_x)[real]
+    )
+    # qstar must equal the XLA q at the chosen color
+    from mcmc_colorer_tpu.models.mcmc import _proposal_q
+    from mcmc_colorer_tpu.ops.neighbor import occupancy_matrix
+
+    occ = occupancy_matrix(nc, params.n_colors)
+    q_x = _proposal_q(colors, occ, params, p_eff)
+    q_sel = np.take_along_axis(
+        np.asarray(q_x), np.asarray(star_x)[:, None], axis=1
+    )[:, 0]
+    tb = np.asarray(taboo) > 0
+    keep = 1.0 - (params.n_colors - 1) * params.epsilon
+    expect = np.where(tb, keep, q_sel)
+    assert np.allclose(np.asarray(qstar_p)[real], expect[real], atol=1e-6)
