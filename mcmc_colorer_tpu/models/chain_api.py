@@ -29,13 +29,15 @@ from mcmc_colorer_tpu.config import MCMCParams
 from mcmc_colorer_tpu.graph.container import Graph
 from mcmc_colorer_tpu.models.base import Coloring
 from mcmc_colorer_tpu.models.mcmc import (
-    _conflict_edges,
+    _conflict_edges_any,
     _init_colors,
+    _is_bucketed,
     _map_blocks,
     _needs_histogram,
-    _sweep,
-    _sweep_pallas,
-    _tailcut,
+    _slice_vec,
+    _sweep_any,
+    _sweep_pallas_fused_any,
+    _tailcut_any,
     _variant_distribution,
     choose_block_size,
 )
@@ -68,7 +70,11 @@ class SteppedMCMC:
         params: MCMCParams,
         block_size: int | None = None,
         backend: str = "auto",
+        layout: str = "flat",
     ) -> None:
+        """``layout='bucketed'``: stepped execution over degree-bucketed
+        rectangles — checkpoint/resume and live-ε editing compose with the
+        layout required on skewed graphs at scale."""
         self.graph = graph
         self.params = params
         self.block = block_size or choose_block_size(graph.n, params.n_colors)
@@ -79,12 +85,26 @@ class SteppedMCMC:
                 else "xla"
             )
         self.backend = backend
+        self.layout = layout
         from mcmc_colorer_tpu.graph.container import degree_pad_for
 
-        self.ell = graph.to_ell(
-            pad_nodes_to=self.block,
-            pad_degree_to=degree_pad_for(graph, backend),
-        )
+        if layout == "bucketed":
+            self.block = min(self.block, 2048)
+            g2, perm = graph.degree_relabel()
+            self._perm = perm
+            self.ell = g2.to_ell_bucketed(
+                block=128,
+                min_lane=128 if backend == "pallas" else 8,
+            )
+            self._pos = self.ell.real_positions()
+        elif layout == "flat":
+            self._perm = None
+            self.ell = graph.to_ell(
+                pad_nodes_to=self.block,
+                pad_degree_to=degree_pad_for(graph, backend),
+            )
+        else:
+            raise ValueError(f"unknown layout {layout!r}")
         self._step_k = jax.jit(
             partial(
                 _step_segment,
@@ -104,7 +124,7 @@ class SteppedMCMC:
             taboo=jnp.zeros((self.ell.n_pad,), jnp.int32),
             key=key,
             iteration=jnp.int32(0),
-            conflicts=_conflict_edges(self.ell, colors),
+            conflicts=_conflict_edges_any(self.ell, colors),
         )
 
     def step(
@@ -154,12 +174,18 @@ class SteppedMCMC:
         if self.params.tailcut and int(conflicts) > 0:
             key, k_tc = jax.random.split(state.key)
             colors, conflicts, tcr = jax.jit(
-                partial(_tailcut, params=self.params, block=self.block)
+                partial(_tailcut_any, params=self.params, block=self.block)
             )(self.ell, colors, conflicts, k_tc)
             tc_rounds = int(tcr)
         rip = int(state.iteration)
+        if self._perm is not None:
+            padded = np.asarray(jax.device_get(colors))
+            out_colors = np.empty(self.graph.n, np.int32)
+            out_colors[self._perm] = padded[self._pos]
+        else:
+            out_colors = np.asarray(colors)[: self.graph.n]
         return Coloring(
-            colors=np.asarray(colors)[: self.graph.n],
+            colors=out_colors,
             n_colors=self.params.n_colors,
             iterations=rip,
             converged=int(conflicts) <= z,
@@ -177,32 +203,64 @@ class SteppedMCMC:
         ell = self.ell
         n_colors = self.params.n_colors
         colors = state.colors
-        nc = neighbor_colors(ell.neighbors, colors)
-        viol = jnp.any(nc == colors[:, None], axis=1) & ell.node_mask
 
         # free-color stats over ALL nodes, blockwise so the [B, nCol]
         # occupancy never materialises whole (reference getStatsFreeColors,
         # _prints.cu:117-131; a sampled min/max is not a min/max —
         # VERDICT r1)
         def blk(xs):
-            nc_blk, real_blk = xs
+            nc_blk, own_blk, real_blk = xs
             occ = occupancy_matrix(nc_blk, n_colors)
             zp = n_colors - jnp.sum(occ, axis=1, dtype=jnp.int32)
+            v = jnp.sum(
+                (jnp.any(nc_blk == own_blk[:, None], axis=1) & real_blk)
+                .astype(jnp.int32)
+            )
             return (
                 jnp.min(jnp.where(real_blk, zp, n_colors + 1)),
                 jnp.max(jnp.where(real_blk, zp, -1)),
                 jnp.sum(jnp.where(real_blk, zp, 0)),
+                v,
             )
 
-        mins, maxs, sums = _map_blocks(
-            blk, ell.n_pad // self.block, self.block, nc, ell.node_mask
-        )
+        if _is_bucketed(ell):
+            mins, maxs, sums, viols = [], [], [], []
+            for s in ell.slices:
+                h = s.h_pad
+                b = self.block if h % self.block == 0 else 128
+                nc_s = neighbor_colors(s.neighbors, colors)
+                own_s = _slice_vec(colors, s.start, h)
+                real_s = (
+                    jnp.arange(h, dtype=jnp.int32) < jnp.int32(s.n_real)
+                )
+                mi, ma, su, vi = _map_blocks(
+                    blk, h // b, b, nc_s, own_s, real_s
+                )
+                mins.append(mi)
+                maxs.append(ma)
+                sums.append(su)
+                viols.append(vi)
+            mins = jnp.concatenate(mins)
+            maxs = jnp.concatenate(maxs)
+            sums = jnp.concatenate(sums)
+            n_viol = int(sum(jnp.sum(v) for v in viols))
+        else:
+            nc = neighbor_colors(ell.neighbors, colors)
+            mins, maxs, sums, viols = _map_blocks(
+                blk,
+                ell.n_pad // self.block,
+                self.block,
+                nc,
+                colors,
+                ell.node_mask,
+            )
+            n_viol = int(jnp.sum(viols))
         hist = color_histogram(colors, n_colors, ell.node_mask)
         h = np.asarray(hist)
         return {
             "iteration": int(state.iteration),
             "conflict_edges": int(state.conflicts),
-            "violating_nodes": int(jnp.sum(viol)),
+            "violating_nodes": n_viol,
             "taboo_active": int(jnp.sum(state.taboo > 0)),
             "histogram": h,
             "used_colors": int((h > 0).sum()),
@@ -224,6 +282,7 @@ class SteppedMCMC:
             conflicts=int(state.conflicts),
             n_colors=self.params.n_colors,
             n_nodes=self.graph.n,
+            layout=self.layout,
         )
 
     def load_checkpoint(self, path: str) -> ChainState:
@@ -232,6 +291,10 @@ class SteppedMCMC:
         d = np.load(path)
         assert int(d["n_nodes"]) == self.graph.n, "graph mismatch"
         assert int(d["n_colors"]) == self.params.n_colors, "palette mismatch"
+        # colors are stored in the layout's padded order (bucketed vectors
+        # interleave per-class phantoms), so layouts must match
+        if "layout" in d.files:
+            assert str(d["layout"]) == self.layout, "layout mismatch"
         return ChainState(
             colors=jnp.asarray(d["colors"]),
             taboo=jnp.asarray(d["taboo"]),
@@ -252,7 +315,12 @@ def _step_segment(
     n_steps: int,
 ):
     z = jnp.int32(params.tailcut_threshold(ell.n_nodes))
-    sweep_fn = _sweep_pallas if backend == "pallas" else _sweep
+
+    def sweep_fn(*a):
+        if backend == "pallas":
+            star, taboo, logq, _conf = _sweep_pallas_fused_any(*a)
+            return star, taboo, logq
+        return _sweep_any(*a)
 
     def body(st, _):
         def do(st):
@@ -274,7 +342,7 @@ def _step_segment(
                 taboo=taboo,
                 key=key,
                 iteration=st.iteration + 1,
-                conflicts=_conflict_edges(ell, star),
+                conflicts=_conflict_edges_any(ell, star),
             )
 
         st = jax.lax.cond(st.conflicts > z, do, lambda s: s, st)

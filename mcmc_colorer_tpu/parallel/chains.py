@@ -45,7 +45,11 @@ class EnsembleMCMCColorer:
         mesh: Mesh | None = None,
         block_size: int | None = None,
         backend: str = "auto",
+        layout: str = "flat",
     ) -> None:
+        """``layout='bucketed'``: every chain runs over degree-bucketed
+        rectangles (graph/container.py:BucketedEll) — required on skewed
+        graphs whose flat max-degree rectangle exceeds HBM."""
         self.graph = graph
         self.params = params
         self.n_chains = n_chains
@@ -61,10 +65,24 @@ class EnsembleMCMCColorer:
             )
         from mcmc_colorer_tpu.graph.container import degree_pad_for
 
-        self.ell = graph.to_ell(
-            pad_nodes_to=self.block,
-            pad_degree_to=degree_pad_for(graph, backend),
-        )
+        self.layout = layout
+        if layout == "bucketed":
+            self.block = min(self.block, 2048)
+            g2, perm = graph.degree_relabel()
+            self._perm = perm
+            self.ell = g2.to_ell_bucketed(
+                block=128,
+                min_lane=128 if backend == "pallas" else 8,
+            )
+            self._pos = self.ell.real_positions()
+        elif layout == "flat":
+            self._perm = None
+            self.ell = graph.to_ell(
+                pad_nodes_to=self.block,
+                pad_degree_to=degree_pad_for(graph, backend),
+            )
+        else:
+            raise ValueError(f"unknown layout {layout!r}")
 
         run = jax.vmap(
             partial(
@@ -99,7 +117,12 @@ class EnsembleMCMCColorer:
         colors, rips, conflicts, traces, tc_rounds = self._jit_run(
             self.ell, keys
         )
-        colors = np.asarray(jax.device_get(colors))[:, : self.graph.n]
+        raw = np.asarray(jax.device_get(colors))
+        if self._perm is not None:
+            colors = np.empty((self.n_chains, self.graph.n), np.int32)
+            colors[:, self._perm] = raw[:, self._pos]
+        else:
+            colors = raw[:, : self.graph.n]
         conflicts = np.asarray(conflicts)
         rips = np.asarray(rips)
         dur = (time.perf_counter() - t0) * 1e3
