@@ -93,6 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument(
         "--seed", type=int, default=None, help="RNG seed (default: time)"
     )
+    gen.add_argument(
+        "--dbg",
+        action="store_true",
+        help="attach the interactive debugger to the parallel MCMC chain "
+        "(ESC breaks into a print/edit shell with live-epsilon editing, "
+        "reference src/utils/dbg.cpp)",
+    )
     tpu = p.add_argument_group("TPU scaling (no reference counterpart)")
     tpu.add_argument(
         "--chains", type=int, default=1, help="independent chains (ensemble)"
@@ -209,6 +216,24 @@ def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
             return _BestOfWrapper(
                 EnsembleMCMCColorer(g, params, n_chains=args.chains)
             )
+        if args.dbg:
+            # the debugger needs the host-visible segment loop: route the
+            # run through SteppedMCMC (same sweep code as MCMCColorer)
+            from mcmc_colorer_tpu.models.chain_api import SteppedMCMC
+            from mcmc_colorer_tpu.utils.dbg import DebugAttach
+
+            if params.hastings:
+                print(
+                    "--dbg uses the stepped chain, which runs the shipped "
+                    "always-accept dynamics; --hastings is ignored.",
+                    file=sys.stderr,
+                )
+            return _DbgWrapper(
+                SteppedMCMC(
+                    g, params, backend=args.backend, layout=args.layout
+                ),
+                DebugAttach(),
+            )
         if args.active:
             from mcmc_colorer_tpu.models.mcmc_active import ActiveMCMCColorer
 
@@ -237,6 +262,17 @@ def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
             g, backend=args.backend, active=args.active, layout=args.layout
         )
     raise ValueError(kind)
+
+
+class _DbgWrapper:
+    """Adapts SteppedMCMC + DebugAttach to the single-result interface."""
+
+    def __init__(self, inner, dbg):
+        self.inner = inner
+        self.dbg = dbg
+
+    def run(self, seed, repetition=0):
+        return self.inner.run(seed, repetition, dbg=self.dbg)
 
 
 class _BestOfWrapper:

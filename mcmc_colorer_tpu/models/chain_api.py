@@ -148,9 +148,15 @@ class SteppedMCMC:
         segment: int = 50,
         checkpoint_path: str | None = None,
         resume_from: str | None = None,
+        dbg=None,
     ) -> Coloring:
         """Full run in host-visible segments with optional periodic
-        checkpointing; resumes from ``resume_from`` if given."""
+        checkpointing; resumes from ``resume_from`` if given.
+
+        ``dbg``: a `utils.dbg.DebugAttach` — polled at every segment
+        boundary (ESC on a tty, reference dbg.cpp:88-97); on break-in its
+        print/edit shell runs against this chain, its live ε edit applies
+        to subsequent segments, and 'q' aborts the run in place."""
         import time
 
         t0 = time.perf_counter()
@@ -166,9 +172,17 @@ class SteppedMCMC:
             n = min(
                 segment, self.params.max_iterations - int(state.iteration)
             )
-            state = self.step(state, n_steps=n)
+            state = self.step(
+                state,
+                n_steps=n,
+                epsilon=dbg.epsilon if dbg is not None else None,
+            )
             if checkpoint_path:
                 self.save_checkpoint(state, checkpoint_path)
+            if dbg is not None and dbg.pending():
+                dbg.break_in(self, state)
+                if dbg.quit:
+                    break
         colors, conflicts = state.colors, state.conflicts
         tc_rounds = 0
         if self.params.tailcut and int(conflicts) > 0:
