@@ -37,7 +37,6 @@ from mcmc_colorer_tpu.models.mcmc import (
     _slice_vec,
     _sweep_any,
     _sweep_pallas_fused_any,
-    _tailcut_any,
     _variant_distribution,
     choose_block_size,
 )
@@ -111,8 +110,7 @@ class SteppedMCMC:
                 params=params,
                 block=self.block,
                 backend=backend,
-            ),
-            static_argnames=("n_steps",),
+            )
         )
 
     def init_state(self, seed: int, repetition: int = 0) -> ChainState:
@@ -139,19 +137,23 @@ class SteppedMCMC:
         eps = jnp.float32(
             self.params.epsilon if epsilon is None else epsilon
         )
-        return self._step_k(self.ell, state, eps, n_steps=n_steps)
+        return self._step_k(self.ell, state, eps, jnp.int32(n_steps))
 
     def run(
         self,
         seed: int,
         repetition: int = 0,
-        segment: int = 50,
+        segment: int | None = None,
         checkpoint_path: str | None = None,
         resume_from: str | None = None,
         dbg=None,
     ) -> Coloring:
         """Full run in host-visible segments with optional periodic
         checkpointing; resumes from ``resume_from`` if given.
+        ``segment``: fixed sweeps per segment; None (default) adapts the
+        segment length toward ~20 s of wall per device execution
+        (utils/segmented.py — single executions past ~60 s crash the
+        worker).
 
         ``dbg``: a `utils.dbg.DebugAttach` — polled at every segment
         boundary (ESC on a tty, reference dbg.cpp:88-97); on break-in its
@@ -159,38 +161,80 @@ class SteppedMCMC:
         to subsequent segments, and 'q' aborts the run in place."""
         import time
 
+        from mcmc_colorer_tpu.utils.segmented import drive_segments
+
         t0 = time.perf_counter()
         if resume_from:
             state = self.load_checkpoint(resume_from)
         else:
             state = self.init_state(seed, repetition)
         z = self.params.tailcut_threshold(self.graph.n)
-        while (
-            int(state.conflicts) > z
-            and int(state.iteration) < self.params.max_iterations
-        ):
-            n = min(
-                segment, self.params.max_iterations - int(state.iteration)
-            )
-            state = self.step(
-                state,
+        maxr = self.params.max_iterations
+        aborted = False
+
+        def seg_fn(st, n):
+            n = max(1, min(n, maxr - int(st.iteration)))
+            return self.step(
+                st,
                 n_steps=n,
                 epsilon=dbg.epsilon if dbg is not None else None,
             )
+
+        def progress(st):
+            it = int(st.iteration)
+            return it, (
+                aborted or int(st.conflicts) <= z or it >= maxr
+            )
+
+        def on_segment(st, *_a):
+            nonlocal aborted
             if checkpoint_path:
-                self.save_checkpoint(state, checkpoint_path)
+                self.save_checkpoint(st, checkpoint_path)
             if dbg is not None and dbg.pending():
-                dbg.break_in(self, state)
+                dbg.break_in(self, st)
                 if dbg.quit:
-                    break
+                    aborted = True
+
+        if segment is not None:
+            # fixed-size segments (explicit request)
+            _, done = progress(state)
+            while not done:
+                state = seg_fn(state, segment)
+                on_segment(state)
+                _, done = progress(state)
+        else:
+            state = drive_segments(
+                seg_fn, state, progress, on_segment=on_segment
+            )
         colors, conflicts = state.colors, state.conflicts
         tc_rounds = 0
         if self.params.tailcut and int(conflicts) > 0:
+            from mcmc_colorer_tpu.models.mcmc import (
+                _tailcut_finish,
+                _tailcut_init,
+                _tailcut_max_rounds,
+                _tailcut_segment,
+            )
+
             key, k_tc = jax.random.split(state.key)
-            colors, conflicts, tcr = jax.jit(
-                partial(_tailcut_any, params=self.params, block=self.block)
-            )(self.ell, colors, conflicts, k_tc)
-            tc_rounds = int(tcr)
+            colors_r, ordered = jax.jit(
+                partial(_tailcut_init, params=self.params)
+            )(self.ell, colors)
+            tc_seg = jax.jit(
+                partial(
+                    _tailcut_segment, params=self.params, block=self.block
+                )
+            )
+            tc_max = _tailcut_max_rounds(self.ell)
+            tc = drive_segments(
+                lambda c, b: tc_seg(self.ell, c, k_tc, jnp.int32(b)),
+                (colors_r, conflicts, jnp.int32(0), jnp.bool_(False)),
+                lambda c: (int(c[2]), bool(c[3]) or int(c[2]) >= tc_max),
+            )
+            colors = jax.jit(
+                partial(_tailcut_finish, params=self.params)
+            )(self.ell, tc[0], ordered)
+            conflicts, tc_rounds = tc[1], int(tc[2])
         rip = int(state.iteration)
         if self._perm is not None:
             padded = np.asarray(jax.device_get(colors))
@@ -322,11 +366,12 @@ def _step_segment(
     ell,
     state: ChainState,
     eps,
+    n_steps,  # int32 scalar (traced — one compiled program serves every
+              # segment length; see utils/segmented.py)
     *,
     params: MCMCParams,
     block: int,
     backend: str,
-    n_steps: int,
 ):
     z = jnp.int32(params.tailcut_threshold(ell.n_nodes))
 
@@ -336,7 +381,7 @@ def _step_segment(
             return star, taboo, logq
         return _sweep_any(*a)
 
-    def body(st, _):
+    def body(st):
         def do(st):
             key, k_u = jax.random.split(st.key)
             unif = jax.random.uniform(
@@ -360,7 +405,6 @@ def _step_segment(
             )
 
         st = jax.lax.cond(st.conflicts > z, do, lambda s: s, st)
-        return st, st.conflicts
+        return st
 
-    state, _trace = jax.lax.scan(body, state, None, length=n_steps)
-    return state
+    return jax.lax.fori_loop(0, n_steps, lambda _i, st: body(st), state)

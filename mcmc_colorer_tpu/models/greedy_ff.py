@@ -71,18 +71,6 @@ class GreedyFFColorer:
         if layout == "bucketed":
             if block_size is None:
                 self.block = min(self.block, 2048)
-            # Above ~262k rows the pallas first-fit faults the TPU worker
-            # inside the colorer loop (ops/pallas_firstfit.py:
-            # PALLAS_FF_MAX_ROWS); large graphs run the hardware-verified
-            # XLA configuration instead (min_lane 8, XLA occupancy).
-            from mcmc_colorer_tpu.ops.pallas_firstfit import (
-                PALLAS_FF_MAX_ROWS,
-            )
-
-            if graph.n > PALLAS_FF_MAX_ROWS:
-                backend = "xla"
-                self.backend = "xla"
-
             # descending = Welsh-Powell order: hubs get LOW ids and win
             # the lower-id-wins conflict rule, markedly fewer used colors
             g2, perm = graph.degree_relabel(descending=True)
@@ -100,9 +88,10 @@ class GreedyFFColorer:
             )
         else:
             raise ValueError(f"unknown layout {layout!r}")
-        self._jit_run = jax.jit(
+        self._jit_init = jax.jit(_gff_init)
+        self._jit_segment = jax.jit(
             partial(
-                _run_gff,
+                _gff_segment,
                 max_colors=self.max_colors,
                 block=self.block,
                 backend=backend,
@@ -146,11 +135,19 @@ class GreedyFFColorer:
         return colors, rounds
 
     def run(self, seed: int = 0, repetition: int = 0) -> Coloring:
+        from mcmc_colorer_tpu.utils.segmented import drive_segments
+
         t0 = time.perf_counter()
         if self.active:
             colors, rounds = self._run_active()
         else:
-            colors, rounds = self._jit_run(self.ell)
+            # host-segmented device loop (utils/segmented.py)
+            carry = drive_segments(
+                lambda c, b: self._jit_segment(self.ell, c, jnp.int32(b)),
+                self._jit_init(self.ell),
+                lambda c: (int(c[1]), bool(c[2])),
+            )
+            colors, rounds = carry[0], carry[1]
         if self._perm is not None:
             padded = np.asarray(jax.device_get(colors))
             colors = np.empty(self.graph.n, np.int32)
@@ -182,10 +179,7 @@ def _first_fit_pass(
     from mcmc_colorer_tpu.models.mcmc import _is_bucketed, _slice_vec
 
     if _is_bucketed(ell):
-        from mcmc_colorer_tpu.ops.pallas_firstfit import (
-            PALLAS_FF_MAX_ROWS,
-            pallas_palette_ok,
-        )
+        from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_palette_ok
 
         outs = []
         for s in ell.slices:
@@ -197,11 +191,7 @@ def _first_fit_pass(
             # this keeps the kernel's [block, palette] VMEM temporaries
             # bounded even when maxDeg (hence max_colors) is huge
             pal = min(max_colors, s.d_pad + 1)
-            if (
-                backend == "pallas"
-                and pallas_palette_ok(pal)
-                and h <= PALLAS_FF_MAX_ROWS
-            ):
+            if backend == "pallas" and pallas_palette_ok(pal):
                 from mcmc_colorer_tpu.ops.pallas_firstfit import (
                     pallas_first_fit,
                 )
@@ -339,21 +329,51 @@ def _gff_active_round(
     return colors_next, jnp.sum(losers.astype(jnp.int32))
 
 
-def _run_gff(
-    ell: EllGraph, *, max_colors: int, block: int, backend: str = "xla"
-):
+def _gff_init(ell: EllGraph):
+    """Initial carry of the speculative loop: (colors, rounds, done)."""
     real = ell.node_mask
     colors0 = jnp.where(real, jnp.int32(-1), jnp.int32(0))
+    return colors0, jnp.int32(0), ~jnp.any(real)
+
+
+def _gff_segment(
+    ell: EllGraph,
+    carry,
+    budget,
+    *,
+    max_colors: int,
+    block: int,
+    backend: str = "xla",
+):
+    """At most ``budget`` speculative rounds (traced budget — see
+    utils/segmented.py).  Bit-equal to the monolithic loop."""
+    real = ell.node_mask
+    limit = carry[1] + budget
 
     def cond(carry):
-        colors, rounds = carry
-        return jnp.any((colors < 0) & real)
+        _, rounds, done = carry
+        return (~done) & (rounds < limit)
 
     def body(carry):
-        colors, rounds = carry
+        colors, rounds, _done = carry
         tentative = _first_fit_pass(ell, colors, max_colors, block, backend)
         losers = _conflict_losers(ell, tentative)
         colors = jnp.where(losers, jnp.int32(-1), tentative)
-        return colors, rounds + 1
+        return colors, rounds + 1, ~jnp.any((colors < 0) & real)
 
-    return jax.lax.while_loop(cond, body, (colors0, jnp.int32(0)))
+    return jax.lax.while_loop(cond, body, carry)
+
+
+def _run_gff(
+    ell: EllGraph, *, max_colors: int, block: int, backend: str = "xla"
+):
+    """One-shot loop (CPU/tests; hardware drives `_gff_segment`)."""
+    carry = _gff_segment(
+        ell,
+        _gff_init(ell),
+        jnp.int32(2**30),
+        max_colors=max_colors,
+        block=block,
+        backend=backend,
+    )
+    return carry[0], carry[1]

@@ -61,14 +61,15 @@ class LubyColorer:
             self._perm = perm
             self.ell = g2.to_ell_bucketed(block=128, min_lane=8)
             self._pos = self.ell.real_positions()
-            self._jit_run = jax.jit(_run_luby_bucketed)
+            self._jit_segment = jax.jit(_luby_segment_bucketed)
         elif layout == "flat":
             self._perm = None
             pad = 128 if active else 8
             self.ell = graph.to_ell(pad_nodes_to=pad)
-            self._jit_run = jax.jit(_run_luby)
+            self._jit_segment = jax.jit(_luby_segment)
         else:
             raise ValueError(f"unknown layout {layout!r}")
+        self._jit_init = jax.jit(_luby_init)
         self._jit_rounds: dict[int, object] = {}
         self._min_bucket = min_bucket
         self._bucket_factor = bucket_factor
@@ -108,12 +109,21 @@ class LubyColorer:
         return colors, n_colors
 
     def run(self, seed: int, repetition: int = 0) -> Coloring:
+        from mcmc_colorer_tpu.utils.segmented import drive_segments
+
         key = rngu.for_repetition(rngu.root_key(seed), repetition)
         t0 = time.perf_counter()
         if self.active:
             colors, n_colors = self._run_active(key)
         else:
-            colors, n_colors = self._jit_run(self.ell, key)
+            # host-segmented device loop (utils/segmented.py): bit-equal
+            # to one execution, immune to the ~60 s execution wall
+            carry = drive_segments(
+                lambda c, b: self._jit_segment(self.ell, c, jnp.int32(b)),
+                self._jit_init(self.ell, key),
+                lambda c: (int(c[5]), bool(c[6])),
+            )
+            colors, n_colors = carry[0], carry[1]
         if self._perm is not None:
             padded = np.asarray(jax.device_get(colors))
             colors = np.empty(self.graph.n, np.int32)
@@ -180,80 +190,106 @@ def _luby_active_round(ell: EllGraph, cands, is_set, key, *, cap: int):
     return cands, is_set, jnp.sum(cands.astype(jnp.int32))
 
 
-def _run_luby(ell: EllGraph, key):
-    """Whole colorer on-device.  Colors are 0-based here (the reference's
-    1-based convention with 0=uncolored, coloringLuby.cu:328-341, is
-    normalised at the API boundary, SURVEY §8)."""
+def _luby_init(ell: EllGraph, key):
+    """Initial carry of the flattened Luby loop: (colors, n_colors, key,
+    cands, is_set, rounds, done).  ``cands`` starts as all uncolored
+    vertices (prune_eligible, coloringLuby.cu:223-228)."""
+    real = ell.node_mask
+    colors0 = jnp.where(real, jnp.int32(-1), jnp.int32(0))
+    return (
+        colors0,
+        jnp.int32(0),
+        key,
+        real,  # cands0 = (colors0 < 0) & real
+        jnp.zeros((ell.n_pad,), jnp.bool_),
+        jnp.int32(0),
+        jnp.bool_(~jnp.any(real)),
+    )
+
+
+def _luby_segment(ell: EllGraph, carry, budget):
+    """At most ``budget`` coin-flip rounds of the flattened Luby loop
+    (budget is traced; see utils/segmented.py for why device loops are
+    segmented).  The reference's nested structure — host loop per color,
+    inner kernel loop per MIS round (coloringLuby.cu:83-176 /
+    run_fast) — flattens to one loop whose body is a single coin-flip /
+    survival / prune round; when the round empties the candidate set the
+    accumulated MIS is committed as a color and the candidates reset, all
+    inside the same body.  The round sequence (and so the RNG stream and
+    the coloring) is identical to the nested form."""
     n_pad = ell.n_pad
-    node_ids = jnp.arange(n_pad, dtype=jnp.int32)
     real = ell.node_mask
     deg_ext = jnp.concatenate([ell.degrees, jnp.zeros((1,), jnp.int32)])
     neigh_degs = jnp.take(deg_ext, ell.neighbors, axis=0)  # [n_pad, d_pad]
     degs = ell.degrees
+    limit = carry[5] + budget
 
-    def any_uncolored(colors):
-        return jnp.any((colors < 0) & real)
+    def cond(carry):
+        _, _, _, _, _, rounds, done = carry
+        return (~done) & (rounds < limit)
 
-    def outer_cond(carry):
-        colors, n_colors, key = carry
-        return any_uncolored(colors)
-
-    def outer_body(carry):
-        colors, n_colors, key = carry
-        cands0 = (colors < 0) & real  # prune_eligible (coloringLuby.cu:223-228)
-        is0 = jnp.zeros((n_pad,), jnp.bool_)
-
-        def inner_cond(icarry):
-            cands, is_set, key = icarry
-            return jnp.any(cands)
-
-        def inner_body(icarry):
-            cands, is_set, key = icarry
-            key, ku = jax.random.split(key)
-            u = jax.random.uniform(ku, (n_pad,), dtype=jnp.float32)
-            sel = cands & (u < 0.5)  # set_initial_distr_k coin flip
-            sel_ext = jnp.concatenate([sel, jnp.zeros((1,), jnp.bool_)])
-            neigh_sel = jnp.take(sel_ext, ell.neighbors, axis=0)
-            # survive iff deg_i > deg_j for every selected neighbor j
-            beaten = jnp.any(neigh_sel & (neigh_degs >= degs[:, None]), axis=1)
-            surv = sel & ~beaten
-            is_set = is_set | surv  # update_eligible_k accumulate
-            surv_ext = jnp.concatenate([surv, jnp.zeros((1,), jnp.bool_)])
-            near_surv = jnp.any(
-                jnp.take(surv_ext, ell.neighbors, axis=0), axis=1
-            )
-            cands = cands & ~surv & ~near_surv
-            return cands, is_set, key
-
-        cands, is_set, key = jax.lax.while_loop(
-            inner_cond, inner_body, (cands0, is0, key)
+    def body(carry):
+        colors, n_colors, key, cands, is_set, rounds, done = carry
+        key, ku = jax.random.split(key)
+        u = jax.random.uniform(ku, (n_pad,), dtype=jnp.float32)
+        sel = cands & (u < 0.5)  # set_initial_distr_k coin flip
+        sel_ext = jnp.concatenate([sel, jnp.zeros((1,), jnp.bool_)])
+        neigh_sel = jnp.take(sel_ext, ell.neighbors, axis=0)
+        # survive iff deg_i > deg_j for every selected neighbor j
+        beaten = jnp.any(neigh_sel & (neigh_degs >= degs[:, None]), axis=1)
+        surv = sel & ~beaten
+        is_set = is_set | surv  # update_eligible_k accumulate
+        surv_ext = jnp.concatenate([surv, jnp.zeros((1,), jnp.bool_)])
+        near_surv = jnp.any(
+            jnp.take(surv_ext, ell.neighbors, axis=0), axis=1
         )
-        colors = jnp.where(is_set, n_colors, colors)
-        return colors, n_colors + 1, key
+        cands = cands & ~surv & ~near_surv
+        # MIS round done → commit the color, reset candidates
+        # (add_color_and_check_uncolored_k, coloringLuby.cu:328-341)
+        commit = ~jnp.any(cands)
+        colors = jnp.where(commit & is_set, n_colors, colors)
+        n_colors = n_colors + jnp.where(commit, 1, 0)
+        uncolored = (colors < 0) & real
+        cands = jnp.where(commit, uncolored, cands)
+        is_set = jnp.where(commit, False, is_set)
+        done = commit & ~jnp.any(uncolored)
+        return colors, n_colors, key, cands, is_set, rounds + 1, done
 
-    colors0 = jnp.where(real, jnp.int32(-1), jnp.int32(0))
-    colors, n_colors, key = jax.lax.while_loop(
-        outer_cond, outer_body, (colors0, jnp.int32(0), key)
-    )
-    return colors, n_colors
+    return jax.lax.while_loop(cond, body, carry)
+
+
+def _run_luby(ell: EllGraph, key):
+    """Whole colorer on-device (one execution — CPU/tests; the hardware
+    path drives `_luby_segment` from the host).  Colors are 0-based here
+    (the reference's 1-based convention with 0=uncolored,
+    coloringLuby.cu:328-341, is normalised at the API boundary, SURVEY
+    §8)."""
+    carry = _luby_init(ell, key)
+    carry = _luby_segment(ell, carry, jnp.int32(2**30))
+    return carry[0], carry[1]
 
 
 def _run_luby_bucketed(bell, key):
     """Device-resident Luby over degree-bucketed rectangles.
 
-    Same nested-while structure and survival rule as `_run_luby`, but each
-    round's neighbor inspection runs per degree-class slice, and the
-    selection flag travels WITH the degree in one packed int32 gather
-    (deg·2 | selected) instead of a precomputed [n_pad, d_pad]
-    neighbor-degree matrix (prohibitive at n=1e6)."""
-    from mcmc_colorer_tpu.models.mcmc import _slice_vec
+    Same flattened loop and survival rule as `_run_luby`, but each round's
+    neighbor inspection runs per degree-class slice, and the selection flag
+    travels WITH the degree in one packed int32 gather (deg·2 | selected)
+    instead of a precomputed [n_pad, d_pad] neighbor-degree matrix
+    (prohibitive at n=1e6)."""
+    carry = _luby_init(bell, key)
+    carry = _luby_segment_bucketed(bell, carry, jnp.int32(2**30))
+    return carry[0], carry[1]
 
+
+def _luby_segment_bucketed(bell, carry, budget):
+    """Bucketed rendition of `_luby_segment` (flattened, budgeted)."""
     n_pad = bell.n_pad
     real = bell.node_mask
     degrees = bell.degrees
+    from mcmc_colorer_tpu.models.mcmc import _slice_vec
 
     def near_mask(flags):
-        """per vertex: any neighbor flagged (one gather per slice)."""
         flags_ext = jnp.concatenate([flags, jnp.zeros((1,), jnp.bool_)])
         parts = [
             jnp.any(jnp.take(flags_ext, s.neighbors, axis=0), axis=1)
@@ -262,7 +298,6 @@ def _run_luby_bucketed(bell, key):
         return jnp.concatenate(parts)
 
     def beaten_mask(sel):
-        """per vertex: some selected neighbor has >= degree."""
         packed = jax.lax.shift_left(degrees, 1) | sel.astype(jnp.int32)
         packed_ext = jnp.concatenate([packed, jnp.zeros((1,), jnp.int32)])
         parts = []
@@ -281,37 +316,27 @@ def _run_luby_bucketed(bell, key):
             )
         return jnp.concatenate(parts)
 
-    def outer_cond(carry):
-        colors, n_colors, key = carry
-        return jnp.any((colors < 0) & real)
+    limit = carry[5] + budget
 
-    def outer_body(carry):
-        colors, n_colors, key = carry
-        cands0 = (colors < 0) & real
-        is0 = jnp.zeros((n_pad,), jnp.bool_)
+    def cond(carry):
+        _, _, _, _, _, rounds, done = carry
+        return (~done) & (rounds < limit)
 
-        def inner_cond(icarry):
-            cands, is_set, key = icarry
-            return jnp.any(cands)
+    def body(carry):
+        colors, n_colors, key, cands, is_set, rounds, done = carry
+        key, ku = jax.random.split(key)
+        u = jax.random.uniform(ku, (n_pad,), dtype=jnp.float32)
+        sel = cands & (u < 0.5)
+        surv = sel & ~beaten_mask(sel)
+        is_set = is_set | surv
+        cands = cands & ~surv & ~near_mask(surv)
+        commit = ~jnp.any(cands)
+        colors = jnp.where(commit & is_set, n_colors, colors)
+        n_colors = n_colors + jnp.where(commit, 1, 0)
+        uncolored = (colors < 0) & real
+        cands = jnp.where(commit, uncolored, cands)
+        is_set = jnp.where(commit, False, is_set)
+        done = commit & ~jnp.any(uncolored)
+        return colors, n_colors, key, cands, is_set, rounds + 1, done
 
-        def inner_body(icarry):
-            cands, is_set, key = icarry
-            key, ku = jax.random.split(key)
-            u = jax.random.uniform(ku, (n_pad,), dtype=jnp.float32)
-            sel = cands & (u < 0.5)
-            surv = sel & ~beaten_mask(sel)
-            is_set = is_set | surv
-            cands = cands & ~surv & ~near_mask(surv)
-            return cands, is_set, key
-
-        cands, is_set, key = jax.lax.while_loop(
-            inner_cond, inner_body, (cands0, is0, key)
-        )
-        colors = jnp.where(is_set, n_colors, colors)
-        return colors, n_colors + 1, key
-
-    colors0 = jnp.where(real, jnp.int32(-1), jnp.int32(0))
-    colors, n_colors, key = jax.lax.while_loop(
-        outer_cond, outer_body, (colors0, jnp.int32(0), key)
-    )
-    return colors, n_colors
+    return jax.lax.while_loop(cond, body, carry)

@@ -286,34 +286,98 @@ class MCMCColorer:
                     f"layout='bucketed'"
                 )
             self._adj = build_dense_adjacency(graph, self.ell.n_pad)
-            self._jit_run = jax.jit(
+        # The chain loop is compiled ONCE with a traced iteration budget
+        # and driven from the host in sub-wall segments (see
+        # utils/segmented.py: single executions past ~60 s crash the TPU
+        # worker).  Segmented runs are bit-equal to one execution.
+        if backend == "matmul":
+            self._fused_carry = True
+            # adj travels as an argument (a closure capture would be
+            # constant-folded into the executable)
+            seg4 = jax.jit(
                 partial(
-                    _run_chain_matmul, params=params, block=self.block
+                    _chain_segment_matmul, params=params, block=self.block
+                )
+            )
+            self._jit_segment = lambda ell, carry, budget: seg4(
+                ell, self._adj, carry, budget
+            )
+        elif backend == "pallas" and not params.hastings:
+            self._fused_carry = True
+            self._jit_segment = jax.jit(
+                partial(
+                    _chain_segment_fused, params=params, block=self.block
                 )
             )
         else:
-            self._jit_run = jax.jit(
+            self._fused_carry = False
+            self._jit_segment = jax.jit(
                 partial(
-                    _run_chain,
+                    _chain_segment,
                     params=params,
                     block=self.block,
                     backend=backend,
                 )
             )
+        self._jit_init = jax.jit(
+            partial(_chain_init, params=params, fused=self._fused_carry)
+        )
+        self._jit_final = jax.jit(_chain_final_conflicts)
+        self._jit_tc_init = jax.jit(partial(_tailcut_init, params=params))
+        self._jit_tc_segment = jax.jit(
+            partial(_tailcut_segment, params=params, block=self.block)
+        )
+        self._jit_tc_finish = jax.jit(
+            partial(_tailcut_finish, params=params)
+        )
 
     def run(self, seed: int, repetition: int = 0) -> Coloring:
         import time
 
+        from mcmc_colorer_tpu.utils.segmented import drive_segments
+
+        params = self.params
+        z = params.tailcut_threshold(self.graph.n)
         key = rngu.for_repetition(rngu.root_key(seed), repetition)
         t0 = time.perf_counter()
-        if self.backend == "matmul":
-            colors, rip, conflicts, trace, tailcut_rounds = self._jit_run(
-                self.ell, self._adj, key
+        carry = self._jit_init(self.ell, key)
+
+        def progress(c):
+            rip = int(c[3])
+            if self._fused_carry:
+                done = bool(c[6]) or rip >= params.max_iterations
+            else:
+                done = int(c[4]) <= z or rip >= params.max_iterations
+            return rip, done
+
+        carry = drive_segments(
+            lambda c, b: self._jit_segment(self.ell, c, jnp.int32(b)),
+            carry,
+            progress,
+        )
+        colors, _taboo, key, rip, conflicts, trace, _done = carry
+        if self._fused_carry:
+            conflicts = self._jit_final(self.ell, carry)
+        tailcut_rounds = jnp.int32(0)
+        if params.tailcut:
+            key, k_tc = jax.random.split(key)
+            colors_r, ordered = self._jit_tc_init(self.ell, colors)
+            tc = (colors_r, conflicts, jnp.int32(0), jnp.bool_(False))
+            tc_max = _tailcut_max_rounds(self.ell)
+
+            def tc_progress(c):
+                rounds = int(c[2])
+                return rounds, bool(c[3]) or rounds >= tc_max
+
+            tc = drive_segments(
+                lambda c, b: self._jit_tc_segment(
+                    self.ell, c, k_tc, jnp.int32(b)
+                ),
+                tc,
+                tc_progress,
             )
-        else:
-            colors, rip, conflicts, trace, tailcut_rounds = self._jit_run(
-                self.ell, key
-            )
+            colors = self._jit_tc_finish(self.ell, tc[0], ordered)
+            conflicts, tailcut_rounds = tc[1], tc[2]
         if self._perm is not None:
             padded = np.asarray(jax.device_get(colors))
             colors = np.empty(self.graph.n, np.int32)
@@ -829,22 +893,53 @@ def _reverse_logq_any(ell, params, block, colors, star):
     return _reverse_logq(ell, params, block, colors, star)
 
 
-def _tailcut(
-    ell: EllGraph,
-    colors: jnp.ndarray,
-    conflicts: jnp.ndarray,
-    key,
-    *,
-    params: MCMCParams,
-    block: int,
-):
-    """Greedy conflict-fixing epilogue (intended semantics of
-    coloringMCMC_utils.cu:73-101 / the buggy CPU loop, SURVEY §9.1).
+def _tailcut_init(ell, colors, *, params: MCMCParams):
+    """Rank-space transform of the tailcut epilogue: colors are relabeled
+    once by ascending class size (the reference's orderedIndex sort,
+    coloringMCMC_main.cu:275-279), so "first free color in
+    ascending-histogram order" becomes a plain smallest-index first-fit —
+    servable by the scatter-free bitmask kernel.  Returns
+    (colors_r, ordered); `_tailcut_finish` maps back."""
+    n_colors = params.n_colors
+    hist = color_histogram(colors, n_colors, ell.node_mask)
+    ordered = jnp.argsort(hist).astype(jnp.int32)  # ascending class size
+    rank = jnp.zeros((n_colors,), jnp.int32).at[ordered].set(
+        jnp.arange(n_colors, dtype=jnp.int32)
+    )
+    rank_ext = jnp.concatenate([rank, jnp.full((1,), n_colors, jnp.int32)])
+    colors_r = jnp.take(rank_ext, jnp.clip(colors, 0, n_colors), axis=0)
+    colors_r = jnp.where(ell.node_mask, colors_r, jnp.int32(n_colors))
+    return colors_r, ordered
 
-    Works in **rank space**: colors are relabeled once by ascending class
-    size (the reference's orderedIndex sort, coloringMCMC_main.cu:275-279),
-    so "first free color in ascending-histogram order" becomes a plain
-    smallest-index first-fit — servable by the scatter-free bitmask kernel.
+
+def _tailcut_finish(ell, colors_r, ordered, *, params: MCMCParams):
+    """Map rank-space colors back through the class-size ordering."""
+    n_colors = params.n_colors
+    ordered_ext = jnp.concatenate(
+        [ordered, jnp.full((1,), n_colors, jnp.int32)]
+    )
+    colors_out = jnp.take(
+        ordered_ext, jnp.clip(colors_r, 0, n_colors), axis=0
+    )
+    return jnp.where(ell.node_mask, colors_out, jnp.int32(n_colors))
+
+
+def _tailcut_use_pallas(params: MCMCParams) -> bool:
+    # Round 2: the former PALLAS_FF_MAX_ROWS gate is gone — the "first-fit
+    # faults the worker in big loops" symptom was the ~60 s execution wall
+    # (utils/segmented.py), not a kernel property.  Only the palette VMEM
+    # bound remains.
+    from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_palette_ok
+
+    return (
+        jax.default_backend() not in ("cpu", "gpu")
+        and pallas_palette_ok(params.n_colors)
+    )
+
+
+def _tailcut_body_flat(ell, key, *, params: MCMCParams, block: int):
+    """Body closure of one flat-layout tailcut round (intended semantics
+    of coloringMCMC_utils.cu:73-101 / the buggy CPU loop, SURVEY §9.1).
     Each round recolors an *independent set* of movable conflicting
     vertices (no lower-id movable flagged neighbor).  Vertices with no
     free color keep theirs (the reference loops forever here,
@@ -854,27 +949,7 @@ def _tailcut(
     n_pad = ell.n_pad
     n_colors = params.n_colors
     node_ids = jnp.arange(n_pad, dtype=jnp.int32)
-    hist = color_histogram(colors, n_colors, ell.node_mask)
-    ordered = jnp.argsort(hist).astype(jnp.int32)  # ascending class size
-    rank = jnp.zeros((n_colors,), jnp.int32).at[ordered].set(
-        jnp.arange(n_colors, dtype=jnp.int32)
-    )
-    # relabel into rank space ([n]-sized gathers over a tiny table)
-    rank_ext = jnp.concatenate([rank, jnp.full((1,), n_colors, jnp.int32)])
-    colors_r = jnp.take(rank_ext, jnp.clip(colors, 0, n_colors), axis=0)
-    colors_r = jnp.where(ell.node_mask, colors_r, jnp.int32(n_colors))
-
-    from mcmc_colorer_tpu.ops.pallas_firstfit import (
-        PALLAS_FF_MAX_ROWS,
-        pallas_palette_ok,
-    )
-
-    use_pallas = (
-        jax.default_backend() not in ("cpu", "gpu")
-        and pallas_palette_ok(n_colors)
-        and n_pad <= PALLAS_FF_MAX_ROWS
-    )
-    max_rounds = jnp.int32(ell.n_nodes + 1000)
+    use_pallas = _tailcut_use_pallas(params)
 
     def first_free(nc_r):
         if use_pallas:
@@ -930,62 +1005,14 @@ def _tailcut(
         )
         return new_r, conf, rounds + 1, conf == 0
 
-    def cond(carry):
-        _, conf, rounds, done = carry
-        return (~done) & (rounds < max_rounds)
+    return body
 
-    colors_r, conflicts, rounds, _ = jax.lax.while_loop(
-        cond,
-        body,
-        (colors_r, conflicts, jnp.int32(0), jnp.bool_(False)),
-    )
-    # map back from rank space
-    ordered_ext = jnp.concatenate(
-        [ordered, jnp.full((1,), n_colors, jnp.int32)]
-    )
-    colors_out = jnp.take(
-        ordered_ext, jnp.clip(colors_r, 0, n_colors), axis=0
-    )
-    colors_out = jnp.where(ell.node_mask, colors_out, jnp.int32(n_colors))
-    return colors_out, conflicts, rounds
 
-def _tailcut_bucketed(
-    bell,
-    colors: jnp.ndarray,
-    conflicts: jnp.ndarray,
-    key,
-    *,
-    params: MCMCParams,
-    block: int,
-):
-    """Bucketed `_tailcut`: same rank-space independent-set greedy, with
-    the per-round occupancy/first-fit and the movable-neighbor check done
-    per degree-class rectangle."""
+def _tailcut_body_bucketed(bell, key, *, params: MCMCParams, block: int):
+    """Bucketed `_tailcut_body_flat`: the per-round occupancy/first-fit
+    and the movable-neighbor check run per degree-class rectangle."""
     n_colors = params.n_colors
-    hist = color_histogram(colors, n_colors, bell.node_mask)
-    ordered = jnp.argsort(hist).astype(jnp.int32)
-    rank = jnp.zeros((n_colors,), jnp.int32).at[ordered].set(
-        jnp.arange(n_colors, dtype=jnp.int32)
-    )
-    rank_ext = jnp.concatenate([rank, jnp.full((1,), n_colors, jnp.int32)])
-    colors_r = jnp.take(rank_ext, jnp.clip(colors, 0, n_colors), axis=0)
-    colors_r = jnp.where(bell.node_mask, colors_r, jnp.int32(n_colors))
-
-    from mcmc_colorer_tpu.ops.pallas_firstfit import (
-        PALLAS_FF_MAX_ROWS,
-        pallas_palette_ok,
-    )
-
-    # row gate: the first-fit kernel faults the TPU worker inside while
-    # loops above PALLAS_FF_MAX_ROWS rows — at the bucketed layout's 1M
-    # scale the tallest slice easily exceeds it (ADVICE r1)
-    use_pallas = (
-        jax.default_backend() not in ("cpu", "gpu")
-        and pallas_palette_ok(n_colors)
-        and max(s.h_pad for s in bell.slices) <= PALLAS_FF_MAX_ROWS
-    )
-    max_rounds = jnp.int32(bell.n_nodes + 1000)
-    node_mask = bell.node_mask
+    use_pallas = _tailcut_use_pallas(params)
 
     def first_free_slice(nc_r, blk):
         if use_pallas:
@@ -1063,31 +1090,47 @@ def _tailcut_bucketed(
         )
         return new_r, conf, rounds + 1, conf == 0
 
-    def cond(carry):
-        _, conf, rounds, done = carry
-        return (~done) & (rounds < max_rounds)
+    return body
 
-    colors_r, conflicts, rounds, _ = jax.lax.while_loop(
-        cond,
-        body,
-        (colors_r, conflicts, jnp.int32(0), jnp.bool_(False)),
+
+def _tailcut_max_rounds(ell) -> int:
+    return ell.n_nodes + 1000
+
+
+def _tailcut_segment(ell, carry, key, budget, *, params, block):
+    """Advance the tailcut loop by at most ``budget`` rounds (traced; see
+    utils/segmented.py).  ``carry`` = (colors_r, conflicts, rounds, done)
+    in rank space — `_tailcut_init` / `_tailcut_finish` bracket the
+    segments."""
+    limit = jnp.minimum(
+        carry[2] + budget, jnp.int32(_tailcut_max_rounds(ell))
     )
-    ordered_ext = jnp.concatenate(
-        [ordered, jnp.full((1,), n_colors, jnp.int32)]
-    )
-    colors_out = jnp.take(
-        ordered_ext, jnp.clip(colors_r, 0, n_colors), axis=0
-    )
-    colors_out = jnp.where(node_mask, colors_out, jnp.int32(n_colors))
-    return colors_out, conflicts, rounds
+    make = _tailcut_body_bucketed if _is_bucketed(ell) else _tailcut_body_flat
+    body = make(ell, key, params=params, block=block)
+
+    def cond(carry):
+        _, _, rounds, done = carry
+        return (~done) & (rounds < limit)
+
+    return jax.lax.while_loop(cond, body, carry)
 
 
 def _tailcut_any(ell, colors, conflicts, key, *, params, block):
-    if _is_bucketed(ell):
-        return _tailcut_bucketed(
-            ell, colors, conflicts, key, params=params, block=block
-        )
-    return _tailcut(ell, colors, conflicts, key, params=params, block=block)
+    """One-shot tailcut (init → full loop → finish) for in-jit callers.
+    Host drivers use the init/segment/finish pieces directly."""
+    colors_r, ordered = _tailcut_init(ell, colors, params=params)
+    carry = (colors_r, conflicts, jnp.int32(0), jnp.bool_(False))
+    carry = _tailcut_segment(
+        ell,
+        carry,
+        key,
+        jnp.int32(_tailcut_max_rounds(ell)),
+        params=params,
+        block=block,
+    )
+    colors_r, conflicts, rounds, _done = carry
+    colors_out = _tailcut_finish(ell, colors_r, ordered, params=params)
+    return colors_out, conflicts, rounds
 
 
 def _run_chain(
@@ -1106,21 +1149,82 @@ def _run_chain(
         # each iteration costs exactly one neighbor-color gather — the
         # measured bottleneck (XLA dynamic gathers run at ~133M elem/s)
         return _run_chain_fused(ell, key, params=params, block=block)
+    carry = _chain_init(ell, key, params=params, fused=False)
+    carry = _chain_segment(
+        ell,
+        carry,
+        jnp.int32(params.max_iterations),
+        params=params,
+        block=block,
+        backend=backend,
+    )
+    colors, taboo, key, rip, conflicts, trace, _done = carry
+    if params.tailcut:
+        key, k_tc = jax.random.split(key)
+        colors, conflicts, tc_rounds = _tailcut_any(
+            ell, colors, conflicts, k_tc, params=params, block=block
+        )
+    else:
+        tc_rounds = jnp.int32(0)
+    return colors, rip, conflicts, trace, tc_rounds
+
+
+def _chain_init(ell, key, *, params: MCMCParams, fused: bool):
+    """Initial chain carry.  One carry layout serves all three sweep
+    backends: (colors, taboo, key, rip, conflicts, trace, done).
+
+    For the generic (xla / hastings) loop, ``conflicts`` holds the count
+    of the CURRENT coloring and trace[0] records it; for the fused /
+    matmul loops ``conflicts`` is the sentinel the first in-loop count
+    overwrites and ``done`` is the do-while exit flag
+    (coloringMCMC_main.cu:160-269)."""
     n_pad = ell.n_pad
-    z = jnp.int32(params.tailcut_threshold(ell.n_nodes))
     key, k_init = jax.random.split(key)
     colors0 = _init_colors(ell, params, k_init)
     taboo0 = jnp.zeros((n_pad,), jnp.int32)
-    conflicts0 = _conflict_edges_any(ell, colors0)
     trace0 = jnp.full((params.max_iterations + 1,), -1, jnp.int32)
-    trace0 = trace0.at[0].set(conflicts0)
+    if fused:
+        conflicts0 = jnp.int32(2**30)
+    else:
+        conflicts0 = _conflict_edges_any(ell, colors0)
+        trace0 = trace0.at[0].set(conflicts0)
+    return (
+        colors0,
+        taboo0,
+        key,
+        jnp.int32(0),
+        conflicts0,
+        trace0,
+        jnp.bool_(False),
+    )
+
+
+def _chain_segment(
+    ell,
+    carry,
+    budget,
+    *,
+    params: MCMCParams,
+    block: int,
+    backend: str = "xla",
+):
+    """Advance the generic chain loop by at most ``budget`` iterations
+    (traced — one compiled program serves every segment; see
+    utils/segmented.py for why device loops must be segmented).  The body
+    is the monolithic loop of `_run_chain`, so a segmented run is
+    bit-equal to a single execution."""
+    n_pad = ell.n_pad
+    z = jnp.int32(params.tailcut_threshold(ell.n_nodes))
+    limit = jnp.minimum(
+        carry[3] + budget, jnp.int32(params.max_iterations)
+    )
 
     def cond(carry):
-        _, _, _, rip, conflicts, _ = carry
-        return (conflicts > z) & (rip < jnp.int32(params.max_iterations))
+        _, _, _, rip, conflicts, _, _ = carry
+        return (conflicts > z) & (rip < limit)
 
     def body(carry):
-        colors, taboo, key, rip, conflicts, trace = carry
+        colors, taboo, key, rip, conflicts, trace, _done = carry
         key, k_u, k_acc = jax.random.split(key, 3)
         unif = jax.random.uniform(k_u, (n_pad,), dtype=jnp.float32)
         if _needs_histogram(params):
@@ -1164,22 +1268,17 @@ def _run_chain(
             conflicts_next = conflicts_star
         rip = rip + 1
         trace = trace.at[rip].set(conflicts_next)
-        return colors_next, new_taboo, key, rip, conflicts_next, trace
-
-    colors, taboo, key, rip, conflicts, trace = jax.lax.while_loop(
-        cond,
-        body,
-        (colors0, taboo0, key, jnp.int32(0), conflicts0, trace0),
-    )
-
-    if params.tailcut:
-        key, k_tc = jax.random.split(key)
-        colors, conflicts, tc_rounds = _tailcut_any(
-            ell, colors, conflicts, k_tc, params=params, block=block
+        return (
+            colors_next,
+            new_taboo,
+            key,
+            rip,
+            conflicts_next,
+            trace,
+            conflicts_next <= z,
         )
-    else:
-        tc_rounds = jnp.int32(0)
-    return colors, rip, conflicts, trace, tc_rounds
+
+    return jax.lax.while_loop(cond, body, carry)
 
 
 def _sweep_matmul(
@@ -1341,18 +1440,43 @@ def _run_chain_matmul(
     current coloring reads the same NC as the proposal — fused-path
     semantics, coloringMCMC_main.cu:160-269); Hastings adds a second
     matmul for the star coloring's occupancy/conflicts."""
+    carry = _chain_init(ell, key, params=params, fused=True)
+    carry = _chain_segment_matmul(
+        ell,
+        adj,
+        carry,
+        jnp.int32(params.max_iterations),
+        params=params,
+        block=block,
+    )
+    colors, taboo, key, rip, _conf_last, trace, _done = carry
+    conflicts = _chain_final_conflicts(ell, carry)
+    if params.tailcut:
+        key, k_tc = jax.random.split(key)
+        colors, conflicts, tc_rounds = _tailcut_any(
+            ell, colors, conflicts, k_tc, params=params, block=block
+        )
+    else:
+        tc_rounds = jnp.int32(0)
+    return colors, rip, conflicts, trace, tc_rounds
+
+
+def _chain_segment_matmul(
+    ell: EllGraph, adj, carry, budget, *, params: MCMCParams, block: int
+):
+    """Budgeted segment of the dense-adjacency do-while (see
+    `_chain_segment`; ``budget`` is traced)."""
     from mcmc_colorer_tpu.ops.dense_adj import neighbor_color_counts
 
     n_pad = ell.n_pad
     z = jnp.int32(params.tailcut_threshold(ell.n_nodes))
-    key, k_init = jax.random.split(key)
-    colors0 = _init_colors(ell, params, k_init)
-    taboo0 = jnp.zeros((n_pad,), jnp.int32)
-    trace0 = jnp.full((params.max_iterations + 1,), -1, jnp.int32)
+    limit = jnp.minimum(
+        carry[3] + budget, jnp.int32(params.max_iterations)
+    )
 
     def cond(carry):
         _, _, _, rip, _, _, done = carry
-        return (~done) & (rip < jnp.int32(params.max_iterations))
+        return (~done) & (rip < limit)
 
     def body(carry):
         colors, taboo, key, rip, conf_last, trace, done = carry
@@ -1413,24 +1537,26 @@ def _run_chain_matmul(
         rip = rip + jnp.where(done_now, 0, 1)
         return colors, taboo, key, rip, conf_cur, trace, done_now
 
-    colors, taboo, key, rip, conf_last, trace, done = jax.lax.while_loop(
-        cond,
-        body,
-        (
-            colors0,
-            taboo0,
-            key,
-            jnp.int32(0),
-            jnp.int32(2**30),
-            trace0,
-            jnp.bool_(False),
-        ),
+    return jax.lax.while_loop(cond, body, carry)
+
+
+def _run_chain_fused(ell: EllGraph, key, *, params: MCMCParams, block: int):
+    """Pallas-backend chain with the conflict count fused into the sweep
+    kernel.  Loop structure matches the reference do-while exactly
+    (coloringMCMC_main.cu:160-269): conflicts of the CURRENT coloring are
+    measured at the top of each iteration (here: inside the same kernel
+    launch as the proposal); when they are ≤ z the proposal of that
+    iteration is discarded and the loop ends."""
+    carry = _chain_init(ell, key, params=params, fused=True)
+    carry = _chain_segment_fused(
+        ell,
+        carry,
+        jnp.int32(params.max_iterations),
+        params=params,
+        block=block,
     )
-    conflicts = jax.lax.cond(
-        done,
-        lambda: conf_last,
-        lambda: _conflict_edges_any(ell, colors),
-    )
+    colors, taboo, key, rip, _conf_last, trace, _done = carry
+    conflicts = _chain_final_conflicts(ell, carry)
     if params.tailcut:
         key, k_tc = jax.random.split(key)
         colors, conflicts, tc_rounds = _tailcut_any(
@@ -1441,23 +1567,34 @@ def _run_chain_matmul(
     return colors, rip, conflicts, trace, tc_rounds
 
 
-def _run_chain_fused(ell: EllGraph, key, *, params: MCMCParams, block: int):
-    """Pallas-backend chain with the conflict count fused into the sweep
-    kernel.  Loop structure matches the reference do-while exactly
-    (coloringMCMC_main.cu:160-269): conflicts of the CURRENT coloring are
-    measured at the top of each iteration (here: inside the same kernel
-    launch as the proposal); when they are ≤ z the proposal of that
-    iteration is discarded and the loop ends."""
+def _chain_final_conflicts(ell, carry):
+    """Conflict count of the final coloring of a fused/matmul do-while.
+    When the loop ended converged, the in-loop count (conf_last) describes
+    it; when it ended at the iteration cap, conf_last describes the
+    pre-swap coloring and the final one must be measured."""
+    colors, _, _, _, conf_last, _, done = carry
+    return jax.lax.cond(
+        done,
+        lambda: conf_last,
+        lambda: _conflict_edges_any(ell, colors),
+    )
+
+
+def _chain_segment_fused(
+    ell, carry, budget, *, params: MCMCParams, block: int
+):
+    """Budgeted segment of the fused-kernel do-while (see
+    `_chain_segment`; ``budget`` is traced — one compiled program serves
+    every segment)."""
     n_pad = ell.n_pad
     z = jnp.int32(params.tailcut_threshold(ell.n_nodes))
-    key, k_init = jax.random.split(key)
-    colors0 = _init_colors(ell, params, k_init)
-    taboo0 = jnp.zeros((n_pad,), jnp.int32)
-    trace0 = jnp.full((params.max_iterations + 1,), -1, jnp.int32)
+    limit = jnp.minimum(
+        carry[3] + budget, jnp.int32(params.max_iterations)
+    )
 
     def cond(carry):
         _, _, _, rip, _, _, done = carry
-        return (~done) & (rip < jnp.int32(params.max_iterations))
+        return (~done) & (rip < limit)
 
     def body(carry):
         colors, taboo, key, rip, conf_last, trace, done = carry
@@ -1478,31 +1615,4 @@ def _run_chain_fused(ell: EllGraph, key, *, params: MCMCParams, block: int):
         rip = rip + jnp.where(done_now, 0, 1)
         return colors, taboo, key, rip, conf_cur, trace, done_now
 
-    colors, taboo, key, rip, conf_last, trace, done = jax.lax.while_loop(
-        cond,
-        body,
-        (
-            colors0,
-            taboo0,
-            key,
-            jnp.int32(0),
-            jnp.int32(2**30),
-            trace0,
-            jnp.bool_(False),
-        ),
-    )
-    # when the loop ended at the iteration cap, conf_last describes the
-    # pre-swap coloring; measure the final one
-    conflicts = jax.lax.cond(
-        done,
-        lambda: conf_last,
-        lambda: _conflict_edges_any(ell, colors),
-    )
-    if params.tailcut:
-        key, k_tc = jax.random.split(key)
-        colors, conflicts, tc_rounds = _tailcut_any(
-            ell, colors, conflicts, k_tc, params=params, block=block
-        )
-    else:
-        tc_rounds = jnp.int32(0)
-    return colors, rip, conflicts, trace, tc_rounds
+    return jax.lax.while_loop(cond, body, carry)

@@ -78,18 +78,6 @@ class VFFColorer:
         if layout == "bucketed":
             if block_size is None:
                 self.block = min(self.block, 2048)
-            # Above ~262k rows the pallas first-fit faults the TPU worker
-            # inside the colorer loop (ops/pallas_firstfit.py:
-            # PALLAS_FF_MAX_ROWS); large graphs run the hardware-verified
-            # XLA configuration instead (min_lane 8, XLA occupancy).
-            from mcmc_colorer_tpu.ops.pallas_firstfit import (
-                PALLAS_FF_MAX_ROWS,
-            )
-
-            if graph.n > PALLAS_FF_MAX_ROWS:
-                backend = "xla"
-                self.backend = "xla"
-
             g2, perm = graph.degree_relabel(descending=True)
             self._perm = perm
             self.ell = g2.to_ell_bucketed(
@@ -105,9 +93,23 @@ class VFFColorer:
             )
         else:
             raise ValueError(f"unknown layout {layout!r}")
-        self._jit_run = jax.jit(
+        from mcmc_colorer_tpu.models.greedy_ff import _gff_init, _gff_segment
+
+        self._jit_gff_init = jax.jit(_gff_init)
+        self._jit_gff_segment = jax.jit(
             partial(
-                _run_vff,
+                _gff_segment,
+                max_colors=self.max_colors,
+                block=self.block,
+                backend=backend,
+            )
+        )
+        self._jit_p2_init = jax.jit(
+            partial(_vff_phase2_init, max_colors=self.max_colors)
+        )
+        self._jit_p2_segment = jax.jit(
+            partial(
+                _vff_phase2_segment,
                 max_colors=self.max_colors,
                 block=self.block,
                 backend=backend,
@@ -183,11 +185,35 @@ class VFFColorer:
         return colors, n_used, rounds, looping
 
     def run(self, seed: int = 0, repetition: int = 0) -> Coloring:
+        from mcmc_colorer_tpu.utils.segmented import drive_segments
+
         t0 = time.perf_counter()
         if self.active:
             colors, n_used, rounds, fell_back = self._run_active()
         else:
-            colors, n_used, rounds, fell_back = self._jit_run(self.ell)
+            # both phases host-segmented (utils/segmented.py)
+            gff = drive_segments(
+                lambda c, b: self._jit_gff_segment(
+                    self.ell, c, jnp.int32(b)
+                ),
+                self._jit_gff_init(self.ell),
+                lambda c: (int(c[1]), bool(c[2])),
+            )
+            gff_colors = gff[0]
+            p2 = drive_segments(
+                lambda c, b: self._jit_p2_segment(
+                    self.ell, c, jnp.int32(b)
+                ),
+                self._jit_p2_init(self.ell, gff_colors),
+                lambda c: (
+                    int(c[4]),
+                    int(c[6]) == 0 or bool(c[5]),
+                ),
+            )
+            fell_back = bool(p2[5])
+            # livelock → revert to plain GFF (coloringVFF.cu:232-234)
+            colors = gff_colors if fell_back else p2[0]
+            n_used, rounds = p2[7], p2[4]
         if self._perm is not None:
             padded = np.asarray(jax.device_get(colors))
             colors = np.empty(self.graph.n, np.int32)
@@ -308,10 +334,7 @@ def _tentative_rebalance(
 
     if _is_bucketed(ell):
         parts = []
-        from mcmc_colorer_tpu.ops.pallas_firstfit import (
-            PALLAS_FF_MAX_ROWS,
-            pallas_palette_ok,
-        )
+        from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_palette_ok
 
         for s in ell.slices:
             h = s.h_pad
@@ -320,11 +343,7 @@ def _tentative_rebalance(
             # rebalancing targets are allow-masked (undersized bins), so
             # the palette cannot be truncated per slice; over the kernel's
             # VMEM palette bound the XLA occupancy path serves the slice
-            if (
-                backend == "pallas"
-                and pallas_palette_ok(max_colors)
-                and h <= PALLAS_FF_MAX_ROWS
-            ):
+            if backend == "pallas" and pallas_palette_ok(max_colors):
                 from mcmc_colorer_tpu.ops.pallas_firstfit import (
                     pallas_first_fit,
                 )
@@ -420,41 +439,63 @@ def _lower_id_conflicted(ell, colors):
     )
 
 
-def _run_vff(
-    ell: EllGraph, *, max_colors: int, block: int, backend: str = "xla"
-):
-    n_pad = ell.n_pad
+def _vff_phase2_init(ell: EllGraph, gff_colors, *, max_colors: int):
+    """Initial carry of the rebalancing loop: (colors, bins, unbalanced,
+    history, rounds, looping, n_unbalanced, n_used, gamma)."""
     real = ell.node_mask
-
-    # ---- phase 1: Greedy FF (coloringVFF.cu:90-125 reuses the GFF loop)
-    gff_colors, _ = _run_gff(
-        ell, max_colors=max_colors, block=block, backend=backend
-    )
-
     # numColors = distinct used colors; since FF colors are dense from 0,
     # that is max(color)+1 over real vertices
     n_used = jnp.max(jnp.where(real, gff_colors, -1)) + 1
-    gamma = jnp.int32(ell.n_nodes) // jnp.maximum(n_used, 1)  # γ = n/numColors
+    gamma = jnp.int32(ell.n_nodes) // jnp.maximum(n_used, 1)  # γ = n/numCol
+    bins0 = color_histogram(gff_colors, max_colors, real)
+    # node flagged iff its class is oversized (γ < binSize,
+    # detect_unbalanced_nodes, coloringVFF.cu:323-334)
+    sz = jnp.take(bins0, jnp.clip(gff_colors, 0, max_colors - 1))
+    unb0 = real & (gamma < sz)
+    hist0 = jnp.zeros((_UNBALANCED_HISTORY, ell.n_pad), jnp.bool_)
+    return (
+        gff_colors,
+        bins0,
+        unb0,
+        hist0,
+        jnp.int32(0),
+        jnp.bool_(False),
+        jnp.sum(unb0.astype(jnp.int32)),
+        n_used,
+        gamma,
+    )
 
-    def bin_sizes(colors):
-        return color_histogram(colors, max_colors, real)
 
-    def detect_unbalanced(colors, bins):
-        """node flagged iff its class is oversized (γ < binSize,
-        coloringVFF.cu:323-334)."""
-        sz = jnp.take(bins, jnp.clip(colors, 0, max_colors - 1))
-        return real & (gamma < sz)
-
-    bins0 = bin_sizes(gff_colors)
-    unb0 = detect_unbalanced(gff_colors, bins0)
-    hist0 = jnp.zeros((_UNBALANCED_HISTORY, n_pad), jnp.bool_)
+def _vff_phase2_segment(
+    ell: EllGraph,
+    carry,
+    budget,
+    *,
+    max_colors: int,
+    block: int,
+    backend: str = "xla",
+):
+    """At most ``budget`` rebalancing rounds (traced budget — see
+    utils/segmented.py).  Bit-equal to the monolithic loop."""
+    real = ell.node_mask
+    limit = carry[4] + budget
 
     def cond(carry):
-        colors, bins, unb, history, rounds, looping = carry
-        return jnp.any(unb) & ~looping
+        _, _, _, _, rounds, looping, n_unb, _, _ = carry
+        return (n_unb > 0) & ~looping & (rounds < limit)
 
     def body(carry):
-        colors, bins, unb, history, rounds, looping = carry
+        (
+            colors,
+            bins,
+            unb,
+            history,
+            rounds,
+            looping,
+            _n_unb,
+            n_used,
+            gamma,
+        ) = carry
         # permissible targets: undersized bins within the used palette
         # (the reference scans i = 1..numColors only, coloringVFF.cu:381)
         allow = (bins < gamma) & (
@@ -467,7 +508,7 @@ def _run_vff(
         # solve_conflicts: an unbalanced node stays flagged iff it now
         # conflicts with a lower-id neighbor (coloringVFF.cu:411-437)
         conflicted = _lower_id_conflicted(ell, new_colors)
-        new_bins = bin_sizes(new_colors)
+        new_bins = color_histogram(new_colors, max_colors, real)
         new_unb = unb & conflicted
         # 10-deep history ring; all-equal → livelock (coloringVFF.cu:447-466)
         history = jnp.roll(history, 1, axis=0).at[0].set(new_unb)
@@ -480,13 +521,33 @@ def _run_vff(
             history,
             rounds + 1,
             looping | (filled & all_equal),
+            jnp.sum(new_unb.astype(jnp.int32)),
+            n_used,
+            gamma,
         )
 
-    colors, bins, unb, history, rounds, looping = jax.lax.while_loop(
-        cond,
-        body,
-        (gff_colors, bins0, unb0, hist0, jnp.int32(0), jnp.bool_(False)),
+    return jax.lax.while_loop(cond, body, carry)
+
+
+def _run_vff(
+    ell: EllGraph, *, max_colors: int, block: int, backend: str = "xla"
+):
+    """One-shot both-phases loop (CPU/tests; hardware drives the
+    phase segments from the host)."""
+    # ---- phase 1: Greedy FF (coloringVFF.cu:90-125 reuses the GFF loop)
+    gff_colors, _ = _run_gff(
+        ell, max_colors=max_colors, block=block, backend=backend
     )
+    carry = _vff_phase2_init(ell, gff_colors, max_colors=max_colors)
+    carry = _vff_phase2_segment(
+        ell,
+        carry,
+        jnp.int32(2**30),
+        max_colors=max_colors,
+        block=block,
+        backend=backend,
+    )
+    colors, _, _, _, rounds, looping, _, n_used, _ = carry
     # livelock → revert to plain GFF (coloringVFF.cu:232-234)
     final = jnp.where(looping, gff_colors, colors)
     return final, n_used, rounds, looping

@@ -37,12 +37,12 @@ def pallas_palette_ok(n_colors: int) -> bool:
     return _round_up(n_colors, 128) <= 32768
 
 
-# Empirical (round 1): the first-fit kernel inside a lax.while_loop faults
-# the TPU worker at runtime for very tall inputs (995712x128 at 1M BA),
-# although the identical standalone call passes and 98432-row loops run
-# fine.  Until root-caused, loop-resident callers fall back to the XLA
-# occupancy path above this row count.
-PALLAS_FF_MAX_ROWS = 1 << 18
+# Round-1 folklore said this kernel "faults the TPU worker inside
+# lax.while_loops above ~2^18 rows".  Round 2 root-caused the fault: any
+# single XLA program execution past the ~60 s wall kills the worker
+# (utils/segmented.py) — tall first-fit loops simply ran long.  The kernel
+# itself has no row bound; callers now segment their loops instead of
+# gating on rows.
 
 
 def _kernel(

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mcmc_colorer_tpu.config import MCMCParams
 from mcmc_colorer_tpu.graph.container import Graph
 from mcmc_colorer_tpu.models.base import Coloring
-from mcmc_colorer_tpu.models.mcmc import MCMCColorer, _run_chain, choose_block_size
+from mcmc_colorer_tpu.models.mcmc import choose_block_size
 from mcmc_colorer_tpu.utils import rng as rngu
 
 
@@ -84,11 +84,95 @@ class EnsembleMCMCColorer:
         else:
             raise ValueError(f"unknown layout {layout!r}")
 
-        run = jax.vmap(
-            partial(
-                _run_chain, params=params, block=self.block, backend=backend
-            ),
+        from mcmc_colorer_tpu.models.mcmc import (
+            _chain_final_conflicts,
+            _chain_init,
+            _chain_segment,
+            _chain_segment_fused,
+            _chain_segment_matmul,
+            _tailcut_finish,
+            _tailcut_init,
+            _tailcut_segment,
+        )
+
+        # every chain's device loop is compiled once with a traced budget
+        # and host-driven in segments (utils/segmented.py: single
+        # executions past ~60 s crash the TPU worker); the vmapped
+        # while_loops lock-step the batch exactly like the former one-shot
+        self._adj = None
+        self._fused_carry = backend in ("pallas", "matmul") and (
+            not params.hastings
+        )
+        if backend == "matmul":
+            from mcmc_colorer_tpu.ops.dense_adj import (
+                build_dense_adjacency,
+                dense_adj_bytes,
+            )
+
+            if layout != "flat":
+                raise ValueError("backend='matmul' is flat-layout only")
+            if dense_adj_bytes(self.ell.n_pad) > 12 * 1024**3:
+                raise ValueError(
+                    "dense adjacency exceeds HBM at "
+                    f"n_pad={self.ell.n_pad}; use backend='pallas'"
+                )
+            # ONE dense A serves every chain (the per-chain sweep matmuls
+            # batch over it)
+            self._adj = build_dense_adjacency(graph, self.ell.n_pad)
+            self._fused_carry = True
+            seg = jax.vmap(
+                partial(
+                    _chain_segment_matmul, params=params, block=self.block
+                ),
+                in_axes=(None, None, 0, None),
+            )
+            self._jit_segment_m = jax.jit(seg)
+            self._jit_segment = lambda ell, c, b: self._jit_segment_m(
+                ell, self._adj, c, b
+            )
+        elif backend == "pallas" and not params.hastings:
+            seg = jax.vmap(
+                partial(
+                    _chain_segment_fused, params=params, block=self.block
+                ),
+                in_axes=(None, 0, None),
+            )
+            self._jit_segment = jax.jit(seg)
+        else:
+            self._fused_carry = False
+            seg = jax.vmap(
+                partial(
+                    _chain_segment,
+                    params=params,
+                    block=self.block,
+                    backend=backend,
+                ),
+                in_axes=(None, 0, None),
+            )
+            self._jit_segment = jax.jit(seg)
+        init = jax.vmap(
+            partial(_chain_init, params=params, fused=self._fused_carry),
             in_axes=(None, 0),
+        )
+        self._jit_final = jax.jit(
+            jax.vmap(_chain_final_conflicts, in_axes=(None, 0))
+        )
+        self._jit_tc_init = jax.jit(
+            jax.vmap(
+                partial(_tailcut_init, params=params), in_axes=(None, 0)
+            )
+        )
+        self._jit_tc_segment = jax.jit(
+            jax.vmap(
+                partial(_tailcut_segment, params=params, block=self.block),
+                in_axes=(None, 0, 0, None),
+            )
+        )
+        self._jit_tc_finish = jax.jit(
+            jax.vmap(
+                partial(_tailcut_finish, params=params),
+                in_axes=(None, 0, 0),
+            )
         )
         if mesh is not None:
             if "chains" not in mesh.axis_names:
@@ -100,23 +184,73 @@ class EnsembleMCMCColorer:
                 )
             key_sharding = NamedSharding(mesh, P("chains"))
             repl = NamedSharding(mesh, P())
-            self._jit_run = jax.jit(
-                run,
-                in_shardings=(repl, key_sharding),
+            self._jit_init = jax.jit(
+                init, in_shardings=(repl, key_sharding)
             )
         else:
-            self._jit_run = jax.jit(run)
+            self._jit_init = jax.jit(init)
 
     def run(self, seed: int, repetition: int = 0):
         """Returns (best Coloring, list of per-chain summaries)."""
+        from mcmc_colorer_tpu.utils.segmented import drive_segments
+
         root = rngu.for_repetition(rngu.root_key(seed), repetition)
         keys = jax.vmap(lambda c: rngu.for_chain(root, c))(
             jnp.arange(self.n_chains, dtype=jnp.uint32)
         )
+        params = self.params
+        z = params.tailcut_threshold(self.graph.n)
         t0 = time.perf_counter()
-        colors, rips, conflicts, traces, tc_rounds = self._jit_run(
-            self.ell, keys
+        carry = self._jit_init(self.ell, keys)
+
+        def progress(c):
+            rips_h = np.asarray(c[3])
+            if self._fused_carry:
+                active = ~np.asarray(c[6]) & (
+                    rips_h < params.max_iterations
+                )
+            else:
+                active = (np.asarray(c[4]) > z) & (
+                    rips_h < params.max_iterations
+                )
+            return int(rips_h.max()), not active.any()
+
+        carry = drive_segments(
+            lambda c, b: self._jit_segment(self.ell, c, jnp.int32(b)),
+            carry,
+            progress,
         )
+        colors, _taboo, keyv, rips, conflicts, traces, _done = carry
+        if self._fused_carry:
+            conflicts = self._jit_final(self.ell, carry)
+        tc_rounds = np.zeros(self.n_chains, np.int32)
+        if params.tailcut:
+            from mcmc_colorer_tpu.models.mcmc import _tailcut_max_rounds
+
+            k_tc = jax.vmap(lambda k: jax.random.split(k)[1])(keyv)
+            colors_r, ordered = self._jit_tc_init(self.ell, colors)
+            tc = (
+                colors_r,
+                conflicts,
+                jnp.zeros((self.n_chains,), jnp.int32),
+                jnp.zeros((self.n_chains,), jnp.bool_),
+            )
+            tc_max = _tailcut_max_rounds(self.ell)
+
+            def tc_progress(c):
+                rounds_h = np.asarray(c[2])
+                done_h = np.asarray(c[3]) | (rounds_h >= tc_max)
+                return int(rounds_h.max()), bool(done_h.all())
+
+            tc = drive_segments(
+                lambda c, b: self._jit_tc_segment(
+                    self.ell, c, k_tc, jnp.int32(b)
+                ),
+                tc,
+                tc_progress,
+            )
+            colors = self._jit_tc_finish(self.ell, tc[0], ordered)
+            conflicts, tc_rounds = tc[1], np.asarray(tc[2])
         raw = np.asarray(jax.device_get(colors))
         if self._perm is not None:
             colors = np.empty((self.n_chains, self.graph.n), np.int32)

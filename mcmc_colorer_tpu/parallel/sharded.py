@@ -298,19 +298,41 @@ class ShardedMCMCColorer:
             state = self.init_state(seed, repetition)
         z = self.params.tailcut_threshold(self.graph.n)
         maxr = self.params.max_iterations
-        if segment is None and checkpoint_path is None:
-            state = self._jit_segment(neighbors, state, jnp.int32(maxr))
-        else:
-            seg = segment or 50
+        if segment is not None:
+            # fixed-size segments (explicit request)
             while True:
                 rip_h = int(_host_get(state[4]))
                 if rip_h >= maxr or not (_host_get(state[5]) > z).any():
                     break
                 state = self._jit_segment(
-                    neighbors, state, jnp.int32(min(rip_h + seg, maxr))
+                    neighbors, state, jnp.int32(min(rip_h + segment, maxr))
                 )
                 if checkpoint_path:
                     self.save_checkpoint(state, checkpoint_path)
+        else:
+            # adaptive segments: a single execution of max_iterations
+            # sweeps can cross the ~60 s wall (utils/segmented.py)
+            from mcmc_colorer_tpu.utils.segmented import drive_segments
+
+            def seg_fn(st, b):
+                rip_h = int(_host_get(st[4]))
+                return self._jit_segment(
+                    neighbors, st, jnp.int32(min(rip_h + b, maxr))
+                )
+
+            def progress(st):
+                rip_h = int(_host_get(st[4]))
+                done = rip_h >= maxr or not (_host_get(st[5]) > z).any()
+                return rip_h, done
+
+            on_seg = (
+                (lambda st, *_a: self.save_checkpoint(st, checkpoint_path))
+                if checkpoint_path
+                else None
+            )
+            state = drive_segments(
+                seg_fn, state, progress, on_segment=on_seg
+            )
         colors, rip, conflicts, traces, eps_scale = (
             state[0], state[4], state[5], state[6], state[7]
         )
@@ -336,9 +358,17 @@ class ShardedMCMCColorer:
             # sharded ELL rows in place (the round-1 version rebuilt a
             # flat single-device rectangle on the host — at the 1M scale
             # the sharded path exists for, that defeats sharding)
+            from mcmc_colorer_tpu.utils.segmented import drive_segments
+
             pad = np.full(self._n_pad, self.params.n_colors, np.int32)
             pad[: self.graph.n] = best_colors
-            cols, conf, tcr = jax.jit(
+            nc = self.params.n_colors
+            cols_r, ordered = jax.jit(
+                partial(
+                    _sharded_tailcut_rank, n_colors=nc, n_nodes=self.graph.n
+                )
+            )(jnp.asarray(pad))
+            tc_seg = jax.jit(
                 partial(
                     _run_tailcut_sharded,
                     mesh=self.mesh,
@@ -346,10 +376,25 @@ class ShardedMCMCColorer:
                     block=self.block,
                     n_nodes=self.graph.n,
                 )
-            )(neighbors, jnp.asarray(pad), rngu.for_iteration(root, 999_999))
+            )
+            k_tc = rngu.for_iteration(root, 999_999)
+            tc = drive_segments(
+                lambda c, b: tc_seg(
+                    neighbors, c[0], k_tc, c[2], jnp.int32(b)
+                ),
+                (cols_r, jnp.int32(2**30), jnp.int32(0), jnp.bool_(False)),
+                lambda c: (int(_host_get(c[2])), bool(_host_get(c[3]))),
+            )
+            cols = jax.jit(
+                partial(
+                    _sharded_tailcut_unrank,
+                    n_colors=nc,
+                    n_nodes=self.graph.n,
+                )
+            )(tc[0], ordered)
             best_colors = _host_get(cols)[: self.graph.n]
-            conflicts[best] = int(conf)
-            tc_rounds = int(tcr)
+            conflicts[best] = int(_host_get(tc[1]))
+            tc_rounds = int(_host_get(tc[2]))
 
         summaries = [
             {
@@ -1098,15 +1143,19 @@ def _sharded_init(
 
 def _run_tailcut_sharded(
     neighbors,     # [n_pad, d_pad] sharded P('shards', None)
-    colors_full,   # [n_pad] replicated (phantoms hold nCol)
+    cols_r,        # [n_pad] replicated RANK-SPACE colors
+                   # (_sharded_tailcut_rank; phantoms hold nCol)
     key,
+    rounds0,       # int32 scalar: global round index at segment entry
+    budget,        # int32 scalar: max rounds this execution (traced —
+                   # see utils/segmented.py)
     *,
     mesh: Mesh,
     params: MCMCParams,
     block: int,
     n_nodes: int,
 ):
-    """Shard-resident tail-cutting epilogue.
+    """Shard-resident tail-cutting epilogue (one budgeted segment).
 
     Same rank-space independent-set greedy as models/mcmc._tailcut
     (intended semantics of coloringMCMC_utils.cu:73-101), but each shard
@@ -1120,43 +1169,22 @@ def _run_tailcut_sharded(
     n_loc = n_pad // ms
     n_colors = params.n_colors
 
-    from mcmc_colorer_tpu.ops.pallas_firstfit import (
-        PALLAS_FF_MAX_ROWS,
-        pallas_palette_ok,
-    )
+    from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_palette_ok
 
+    # (the former row gate is gone — round 2 traced the "first-fit faults
+    # in big loops" symptom to the ~60 s execution wall, utils/segmented.py)
     use_pallas = (
         jax.default_backend() not in ("cpu", "gpu")
         and pallas_palette_ok(n_colors)
-        and n_loc <= PALLAS_FF_MAX_ROWS
     )
     blk = block if n_loc % block == 0 else 128
 
-    def body_fn(neigh_loc, colors_full, key):
+    def body_fn(neigh_loc, cols_r, key, rounds0, budget):
         shard_id = jax.lax.axis_index("shards")
         offset = shard_id.astype(jnp.int32) * jnp.int32(n_loc)
         self_gids = offset + jnp.arange(n_loc, dtype=jnp.int32)
         real_loc = self_gids < jnp.int32(n_nodes)
         full_real = jnp.arange(n_pad, dtype=jnp.int32) < jnp.int32(n_nodes)
-
-        # rank-space relabel by ascending class size (identical on every
-        # shard: same replicated inputs, deterministic argsort)
-        hist = (
-            jnp.zeros((n_colors,), jnp.int32)
-            .at[jnp.where(full_real, colors_full, n_colors)]
-            .add(1, mode="drop")
-        )
-        ordered = jnp.argsort(hist).astype(jnp.int32)
-        rank = jnp.zeros((n_colors,), jnp.int32).at[ordered].set(
-            jnp.arange(n_colors, dtype=jnp.int32)
-        )
-        rank_ext = jnp.concatenate(
-            [rank, jnp.full((1,), n_colors, jnp.int32)]
-        )
-        cols_r = jnp.take(
-            rank_ext, jnp.clip(colors_full, 0, n_colors), axis=0
-        )
-        cols_r = jnp.where(full_real, cols_r, jnp.int32(n_colors))
 
         def first_free(nc_r):
             if use_pallas:
@@ -1182,6 +1210,7 @@ def _run_tailcut_sharded(
             return jax.lax.map(block_fn, xs).reshape(n_loc)
 
         max_rounds = jnp.int32(n_nodes + 1000)
+        limit = jnp.minimum(rounds0 + budget, max_rounds)
 
         def body(carry):
             cols_r_full, conf, rounds, _ = carry
@@ -1243,27 +1272,59 @@ def _run_tailcut_sharded(
 
         def cond(carry):
             _, conf, rounds, done = carry
-            return (~done) & (rounds < max_rounds)
+            return (~done) & (rounds < limit)
 
-        cols_r_out, conf, rounds, _ = jax.lax.while_loop(
+        cols_r_out, conf, rounds, done = jax.lax.while_loop(
             cond,
             body,
-            (cols_r, jnp.int32(2**30), jnp.int32(0), jnp.bool_(False)),
+            (cols_r, jnp.int32(2**30), rounds0, jnp.bool_(False)),
         )
-        ordered_ext = jnp.concatenate(
-            [ordered, jnp.full((1,), n_colors, jnp.int32)]
-        )
-        colors_out = jnp.take(
-            ordered_ext, jnp.clip(cols_r_out, 0, n_colors), axis=0
-        )
-        colors_out = jnp.where(full_real, colors_out, jnp.int32(n_colors))
-        return colors_out, conf, rounds
+        # re-derive done (the carry flag is False when the segment entered
+        # with rounds0 == limit)
+        done = done | (conf == 0)
+        return cols_r_out, conf, rounds, done
 
     mapped = jax.shard_map(
         body_fn,
         mesh=mesh,
-        in_specs=(P("shards", None), P(), P()),
-        out_specs=(P(), P(), P()),
+        in_specs=(P("shards", None), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
-    return mapped(neighbors, colors_full, key)
+    return mapped(neighbors, cols_r, key, rounds0, budget)
+
+
+def _sharded_tailcut_rank(colors_full, n_colors: int, n_nodes: int):
+    """Rank-space relabel by ascending class size (replicated — identical
+    on every shard/process; the reference's orderedIndex sort,
+    coloringMCMC_main.cu:275-279).  Returns (cols_r, ordered)."""
+    n_pad = colors_full.shape[0]
+    full_real = jnp.arange(n_pad, dtype=jnp.int32) < jnp.int32(n_nodes)
+    hist = (
+        jnp.zeros((n_colors,), jnp.int32)
+        .at[jnp.where(full_real, colors_full, n_colors)]
+        .add(1, mode="drop")
+    )
+    ordered = jnp.argsort(hist).astype(jnp.int32)
+    rank = jnp.zeros((n_colors,), jnp.int32).at[ordered].set(
+        jnp.arange(n_colors, dtype=jnp.int32)
+    )
+    rank_ext = jnp.concatenate(
+        [rank, jnp.full((1,), n_colors, jnp.int32)]
+    )
+    cols_r = jnp.take(
+        rank_ext, jnp.clip(colors_full, 0, n_colors), axis=0
+    )
+    return jnp.where(full_real, cols_r, jnp.int32(n_colors)), ordered
+
+
+def _sharded_tailcut_unrank(cols_r, ordered, n_colors: int, n_nodes: int):
+    n_pad = cols_r.shape[0]
+    full_real = jnp.arange(n_pad, dtype=jnp.int32) < jnp.int32(n_nodes)
+    ordered_ext = jnp.concatenate(
+        [ordered, jnp.full((1,), n_colors, jnp.int32)]
+    )
+    colors_out = jnp.take(
+        ordered_ext, jnp.clip(cols_r, 0, n_colors), axis=0
+    )
+    return jnp.where(full_real, colors_out, jnp.int32(n_colors))
