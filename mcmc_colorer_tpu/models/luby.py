@@ -38,6 +38,7 @@ class LubyColorer:
         min_bucket: int = 128,
         bucket_factor: int = 4,
         layout: str = "flat",
+        backend: str = "auto",
     ) -> None:
         """``active=True`` runs the frontier variant: every coin-flip /
         survival round gathers only the rows of the remaining *candidates*
@@ -53,9 +54,36 @@ class LubyColorer:
         rule is degree-based, so the relabeling does not change the
         distribution of produced colorings.  Composes with ``active=True``
         (frontier rows gathered per slice, ops/neighbor.py:take_rows)."""
+        """``backend``: 'xla' (per-edge neighbor gathers), 'matmul' (dense
+        int8 adjacency on the MXU — ~an order of magnitude faster rounds
+        on gather-bound graphs, needs n_pad² bytes of HBM; flat layout,
+        full loop only), or 'auto' (matmul on TPU when the dense adjacency
+        fits and the graph is gather-bound, else xla)."""
+        import numpy as _np
+
         self.graph = graph
         self.active = active
         self.layout = layout
+        if backend == "auto":
+            from mcmc_colorer_tpu.ops.dense_adj import dense_adj_ok
+
+            backend = (
+                "matmul"
+                if (
+                    jax.default_backend() not in ("cpu", "gpu")
+                    and layout == "flat"
+                    and not active
+                    and dense_adj_ok(
+                        (graph.n + 127) // 128 * 128, graph.mean_degree
+                    )
+                )
+                else "xla"
+            )
+        if backend == "matmul" and (layout != "flat" or active):
+            raise ValueError(
+                "backend='matmul' serves the flat full loop only"
+            )
+        self.backend = backend
         if layout == "bucketed":
             g2, perm = graph.degree_relabel(descending=True)
             self._perm = perm
@@ -64,9 +92,33 @@ class LubyColorer:
             self._jit_segment = jax.jit(_luby_segment_bucketed)
         elif layout == "flat":
             self._perm = None
-            pad = 128 if active else 8
+            pad = 128 if (active or backend == "matmul") else 8
             self.ell = graph.to_ell(pad_nodes_to=pad)
-            self._jit_segment = jax.jit(_luby_segment)
+            if backend == "matmul":
+                from functools import partial
+
+                from mcmc_colorer_tpu.ops.dense_adj import (
+                    build_dense_adjacency,
+                )
+
+                uniq = _np.unique(_np.asarray(graph.degrees))
+                rank = _np.searchsorted(
+                    uniq, _np.asarray(self.ell.degrees)
+                ).astype(_np.int32)
+                self._rank_class = jnp.asarray(rank)
+                self._adj = build_dense_adjacency(graph, self.ell.n_pad)
+                seg5 = jax.jit(
+                    partial(
+                        _luby_segment_matmul, n_classes=int(uniq.size)
+                    )
+                )
+                self._jit_segment = (
+                    lambda ell, c, b: seg5(
+                        ell, self._adj, self._rank_class, c, b
+                    )
+                )
+            else:
+                self._jit_segment = jax.jit(_luby_segment)
         else:
             raise ValueError(f"unknown layout {layout!r}")
         self._jit_init = jax.jit(_luby_init)
@@ -246,6 +298,81 @@ def _luby_segment(ell: EllGraph, carry, budget):
         cands = cands & ~surv & ~near_surv
         # MIS round done → commit the color, reset candidates
         # (add_color_and_check_uncolored_k, coloringLuby.cu:328-341)
+        commit = ~jnp.any(cands)
+        colors = jnp.where(commit & is_set, n_colors, colors)
+        n_colors = n_colors + jnp.where(commit, 1, 0)
+        uncolored = (colors < 0) & real
+        cands = jnp.where(commit, uncolored, cands)
+        is_set = jnp.where(commit, False, is_set)
+        done = commit & ~jnp.any(uncolored)
+        return colors, n_colors, key, cands, is_set, rounds + 1, done
+
+    return jax.lax.while_loop(cond, body, carry)
+
+
+def _luby_segment_matmul(
+    ell: EllGraph,
+    adj,            # [n_pad, n_pad] int8 dense adjacency (ops/dense_adj)
+    rank_class,     # [n_pad] int32: index of each vertex's degree into the
+                    # ascending unique-degree table
+    carry,
+    budget,
+    *,
+    n_classes: int,
+):
+    """`_luby_segment` with both neighbor inspections on the MXU instead
+    of per-edge gathers (the round-2 dense-adjacency formulation,
+    ops/dense_adj.py).  Per round: (1) ``M = A @ onehot(rank_class |
+    selected)`` counts each vertex's selected neighbors per degree class;
+    a reverse-cumulative sum over the class axis at the vertex's own class
+    yields "some selected neighbor has >= degree" — exactly
+    check_conflicts_k's survival rule (coloringLuby.cu:269-276) including
+    ties.  (2) ``A @ survivors`` marks neighbors of the accepted set.
+    Same coin flips, same rule, bit-identical colorings to the gather
+    path (tests/test_segmented.py)."""
+    n_pad = ell.n_pad
+    real = ell.node_mask
+    r_pad = (n_classes + 127) // 128 * 128
+    limit = carry[5] + budget
+
+    def cond(carry):
+        _, _, _, _, _, rounds, done = carry
+        return (~done) & (rounds < limit)
+
+    def body(carry):
+        colors, n_colors, key, cands, is_set, rounds, done = carry
+        key, ku = jax.random.split(key)
+        u = jax.random.uniform(ku, (n_pad,), dtype=jnp.float32)
+        sel = cands & (u < 0.5)  # set_initial_distr_k coin flip
+        cls = jnp.where(sel, rank_class, jnp.int32(-1))
+        onehot = (
+            cls[:, None]
+            == jnp.arange(r_pad, dtype=jnp.int32)[None, :]
+        ).astype(jnp.int8)
+        m = jax.lax.dot_general(
+            adj,
+            onehot,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        # selected neighbors in class >= own class (suffix count)
+        suffix = jnp.cumsum(m[:, ::-1], axis=1)[:, ::-1]
+        ge_cnt = jnp.take_along_axis(
+            suffix, rank_class[:, None], axis=1
+        )[:, 0]
+        beaten = ge_cnt > 0
+        surv = sel & ~beaten
+        is_set = is_set | surv
+        near = (
+            jax.lax.dot_general(
+                adj,
+                surv.astype(jnp.int8)[:, None],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )[:, 0]
+            > 0
+        )
+        cands = cands & ~surv & ~near
         commit = ~jnp.any(cands)
         colors = jnp.where(commit & is_set, n_colors, colors)
         n_colors = n_colors + jnp.where(commit, 1, 0)

@@ -56,10 +56,30 @@ def build_dense_adjacency(graph, n_pad: int, n_chunks: int = 8):
     copy and 2-D [m,2] index pairs tile to T(8,128) (64x padding) — both
     measured OOM paths on the 16 GB chip (scripts/probe_matmul.py).
     ~10 s one-time at n=100k, m=50M; cache per graph."""
-    while n_pad % n_chunks or (n_pad // n_chunks) % 128:
-        n_chunks -= 1
-        if n_chunks == 1:
-            break
+    # chunk must divide n_pad, stay a lane multiple, AND keep the
+    # chunk-local flat indices (chunk * n_pad) inside int32 — a 100096-row
+    # pad has no 8-way split satisfying all three, so search upward from
+    # the requested count (round-2 fix)
+    def ok(c):
+        return (
+            n_pad % c == 0
+            and (n_pad // c) % 128 == 0
+            and (n_pad // c) * n_pad < 2**31
+        )
+
+    cands = [c for c in range(n_chunks, 4097) if ok(c)]
+    if not cands:  # non-128-multiple n_pad: legacy descent, no lane rule
+        cands = [
+            c
+            for c in range(1, 4097)
+            if n_pad % c == 0 and (n_pad // c) * n_pad < 2**31
+        ]
+    if not cands:
+        raise ValueError(
+            f"no feasible row chunking for n_pad={n_pad}; pad the node "
+            "axis to a multiple of 128"
+        )
+    n_chunks = cands[0]
     chunk = n_pad // n_chunks
     degs = graph.degrees.astype(np.int64)
     u = np.repeat(np.arange(graph.n, dtype=np.int64), degs)

@@ -108,3 +108,21 @@ def test_dense_adj_gates(small_er):
         MCMCColorer(
             small_er, _params(small_er), backend="matmul", layout="bucketed"
         )
+
+
+def test_dense_adj_awkward_pad_factors():
+    """n_pad = 128·13 has no 8-way 128-aligned split; the chunk search
+    must climb until chunk·n_pad also fits int32 (round-2 regression:
+    n_pad=100096 picked chunk=50048 and tripped the int32 assert)."""
+    from mcmc_colorer_tpu.graph.generate import erdos_renyi
+    from mcmc_colorer_tpu.ops.dense_adj import build_dense_adjacency
+
+    g = erdos_renyi(1600, 0.05, seed=1)
+    ell = g.to_ell(pad_nodes_to=128)
+    assert ell.n_pad == 1664  # 128 * 13
+    a = np.asarray(build_dense_adjacency(g, ell.n_pad))
+    ref = np.zeros((ell.n_pad, ell.n_pad), np.int8)
+    deg = np.asarray(g.degrees)
+    u = np.repeat(np.arange(g.n), deg)
+    ref[u, np.asarray(g.cols)] = 1
+    assert np.array_equal(a, ref)

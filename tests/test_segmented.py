@@ -201,6 +201,35 @@ def test_luby_bucketed_segment1_equals_oneshot(g):
     assert np.array_equal(np.asarray(carry[0]), np.asarray(colors1))
 
 
+def test_luby_matmul_equals_gather(g):
+    """The dense-adjacency (MXU) Luby rounds are bit-identical to the
+    gather rounds: same coin flips, same higher-degree-wins survival
+    (check_conflicts_k, coloringLuby.cu:269-276) including ties."""
+    from mcmc_colorer_tpu.models.luby import (
+        _luby_init,
+        _luby_segment,
+        _luby_segment_matmul,
+    )
+    from mcmc_colorer_tpu.ops.dense_adj import build_dense_adjacency
+
+    ell = g.to_ell(pad_nodes_to=128)
+    adj = build_dense_adjacency(g, ell.n_pad)
+    uniq = np.unique(np.asarray(g.degrees))
+    rank = jnp.asarray(
+        np.searchsorted(uniq, np.asarray(ell.degrees)).astype(np.int32)
+    )
+    key = rngu.for_repetition(rngu.root_key(17), 0)
+    c1 = jax.jit(_luby_segment)(ell, _luby_init(ell, key), jnp.int32(2**30))
+    c2 = jax.jit(
+        lambda e, a, r, c, b: _luby_segment_matmul(
+            e, a, r, c, b, n_classes=int(uniq.size)
+        )
+    )(ell, adj, rank, _luby_init(ell, key), jnp.int32(2**30))
+    assert int(c1[1]) == int(c2[1])
+    assert int(c1[5]) == int(c2[5])
+    assert np.array_equal(np.asarray(c1[0]), np.asarray(c2[0]))
+
+
 def test_gff_segment1_equals_oneshot(g):
     from mcmc_colorer_tpu.models.greedy_ff import (
         GreedyFFColorer,
