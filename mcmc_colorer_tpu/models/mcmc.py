@@ -228,7 +228,10 @@ class MCMCColorer:
             if jax.default_backend() in ("cpu", "gpu"):
                 backend = "xla"
             else:
-                from mcmc_colorer_tpu.ops.dense_adj import dense_adj_ok
+                from mcmc_colorer_tpu.ops.dense_adj import (
+                    dense_adj_ok,
+                    packed_adj_ok,
+                )
 
                 n_pad_est = (
                     (graph.n + self.block - 1) // self.block * self.block
@@ -236,7 +239,10 @@ class MCMCColorer:
                 backend = (
                     "matmul"
                     if layout == "flat"
-                    and dense_adj_ok(n_pad_est, graph.mean_degree)
+                    and (
+                        dense_adj_ok(n_pad_est, graph.mean_degree)
+                        or packed_adj_ok(n_pad_est, graph.mean_degree)
+                    )
                     else "pallas"
                 )
         if backend == "matmul" and layout != "flat":
@@ -275,17 +281,24 @@ class MCMCColorer:
         if backend == "matmul":
             from mcmc_colorer_tpu.ops.dense_adj import (
                 build_dense_adjacency,
+                build_packed_adjacency,
                 dense_adj_bytes,
+                packed_adj_bytes,
             )
 
-            if dense_adj_bytes(self.ell.n_pad) > 12 * 1024**3:
+            if dense_adj_bytes(self.ell.n_pad) <= 12 * 1024**3:
+                self._adj = build_dense_adjacency(graph, self.ell.n_pad)
+            elif packed_adj_bytes(self.ell.n_pad) <= 12 * 1024**3:
+                # above the dense cap: bit-packed A (n_pad^2/8 bytes),
+                # same NC contraction with an in-loop unpack window
+                self._adj = build_packed_adjacency(graph, self.ell.n_pad)
+            else:
                 raise ValueError(
-                    f"dense adjacency needs "
-                    f"{dense_adj_bytes(self.ell.n_pad) / 1e9:.1f} GB HBM "
+                    f"even the bit-packed adjacency needs "
+                    f"{packed_adj_bytes(self.ell.n_pad) / 1e9:.1f} GB HBM "
                     f"at n_pad={self.ell.n_pad}; use backend='pallas' or "
                     f"layout='bucketed'"
                 )
-            self._adj = build_dense_adjacency(graph, self.ell.n_pad)
         # The chain loop is compiled ONCE with a traced iteration budget
         # and driven from the host in sub-wall segments (see
         # utils/segmented.py: single executions past ~60 s crash the TPU

@@ -30,6 +30,19 @@ import numpy as np
 # n_pad^2 int8 <= ~10.5 GB leaves room for NC/onehot/ELL on a 16 GB chip
 DENSE_ADJ_MAX_N = 102_400
 
+# Bit-packed A (uint32 words, n_pad^2/8 bytes) extends the MXU
+# formulation to ~2.8x larger n: 10.3 GB at n_pad=286720.  Per sweep it
+# pays an extra unpack round-trip (~2.25*n^2 bytes of HBM traffic vs the
+# dense path's n^2), so it is only selected ABOVE the dense cap, where
+# the alternative is the 133M elem/s gather wall (PERF.md).
+PACKED_ADJ_MAX_N = 286_720
+PACKED_K_CHUNK = 4096  # unpack window: 128 uint32 lanes -> 4096 columns
+
+# packed-NC implementation: 'pallas' (in-kernel unpack, A read once at
+# n^2/8 bytes/sweep — ops/pallas_bitmatmul.py) or 'xla' (chunked
+# unpack-to-int8 loop, ~2.25*n^2 bytes/sweep; portable fallback)
+PACKED_NC_IMPL = "pallas"
+
 
 def dense_adj_bytes(n_pad: int) -> int:
     return n_pad * n_pad
@@ -45,6 +58,169 @@ def dense_adj_ok(n_pad: int, d_mean: float | None = None) -> bool:
     if d_mean is not None and n_pad * d_mean < 2_000_000:
         return False  # gather volume already < ~15 ms/sweep
     return True
+
+
+def packed_adj_words(n_pad: int) -> int:
+    """Lane-padded uint32 word count per row (multiple of 128 lanes so
+    the [n_pad, words] array tiles exactly under T(8,128))."""
+    return (n_pad + PACKED_K_CHUNK - 1) // PACKED_K_CHUNK * 128
+
+
+def packed_adj_bytes(n_pad: int) -> int:
+    return n_pad * packed_adj_words(n_pad) * 4
+
+
+def packed_adj_ok(n_pad: int, d_mean: float | None = None) -> bool:
+    """Whether the bit-packed formulation beats the gather path: only in
+    the band above the dense cap, and only when the gather volume it
+    replaces (n*d_pad at 7.5 ns/elem) exceeds the packed sweep's unpack
+    traffic (~2.25*n^2 bytes at HBM rate) — i.e. d_mean >~ n_pad/2000."""
+    if n_pad <= DENSE_ADJ_MAX_N or n_pad > PACKED_ADJ_MAX_N:
+        return False
+    if d_mean is not None and d_mean * 2000 < n_pad:
+        return False
+    return True
+
+
+def packed_bit_coords(v: np.ndarray):
+    """Column index -> (word, bit) in the Mosaic-friendly bit order.
+
+    Within each PACKED_K_CHUNK-wide window, column ``jl`` lives in word
+    ``jl % 128`` at bit ``jl // 128`` — chosen so that a Pallas kernel
+    unpacks a [rows, 128]-word block with one tile-semantics
+    ``pltpu.repeat`` along lanes plus a lane-indexed shift (no gathers:
+    output lane l reads word l % 128 shifted by l // 128).  The XLA
+    unpack is an equally cheap shift-reshape in (bit, word) order."""
+    window, jl = v // PACKED_K_CHUNK, v % PACKED_K_CHUNK
+    word = window * 128 + jl % 128
+    bit = jl // 128
+    return word, bit
+
+
+def build_packed_adjacency(graph, n_pad: int):
+    """[n_pad, words] uint32 bit-packed adjacency on the default device,
+    in the ``packed_bit_coords`` bit order.
+
+    Same row-chunked device-scatter strategy as ``build_dense_adjacency``
+    (full-size scatters OOM through layout copies), but each chunk is a
+    1-D scatter-ADD of per-edge bit values ``1 << bit`` into uint32
+    words — duplicate edges are removed host-side first so the add is
+    exact.  Host ships only the m-edge index/value arrays, never the
+    matrix."""
+    words = packed_adj_words(n_pad)
+    degs = graph.degrees.astype(np.int64)
+    u = np.repeat(np.arange(graph.n, dtype=np.int64), degs)
+    v = graph.cols.astype(np.int64)
+    # dedupe (io keeps duplicate input edges; add would corrupt bits)
+    key = np.unique(u * n_pad + v)
+    u, v = key // n_pad, key % n_pad
+    word, bit = packed_bit_coords(v)
+    flat = u * words + word
+    vals = (np.uint32(1) << bit.astype(np.uint32)).astype(np.uint32)
+    # the bit order permutes words within a row: re-sort so the device
+    # scatter keeps its indices_are_sorted fast path
+    order = np.argsort(flat, kind="stable")
+    flat, vals = flat[order], vals[order]
+
+    def ok(c):
+        return (
+            n_pad % c == 0
+            and (n_pad // c) % 8 == 0
+            and (n_pad // c) * words < 2**31
+        )
+
+    cands = [c for c in range(1, 4097) if ok(c)]
+    if not cands:
+        raise ValueError(
+            f"no feasible row chunking for n_pad={n_pad}; pad the node "
+            "axis to a multiple of 8"
+        )
+    n_chunks = cands[0]
+    chunk = n_pad // n_chunks
+    oob = np.int32(min(chunk * words, 2**31 - 1))  # mode="drop" discards
+    chunk_idx, chunk_val, max_len = [], [], 0
+    for c in range(n_chunks):
+        lo = np.searchsorted(u, c * chunk)
+        hi = np.searchsorted(u, (c + 1) * chunk)
+        loc = (flat[lo:hi] - c * chunk * words).astype(np.int32)
+        chunk_idx.append(loc)
+        chunk_val.append(vals[lo:hi])
+        max_len = max(max_len, int(loc.size))
+    chunk_idx = [
+        np.concatenate([ci, np.full(max_len - ci.size, oob, np.int32)])
+        for ci in chunk_idx
+    ]
+    chunk_val = [
+        np.concatenate([cv, np.zeros(max_len - cv.size, np.uint32)])
+        for cv in chunk_val
+    ]
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("chunk",))
+    def insert_rows(a, flat_local, bitval, r0, *, chunk):
+        z = jnp.zeros((chunk * words,), jnp.uint32)
+        z = z.at[flat_local].add(
+            bitval, indices_are_sorted=True, mode="drop"
+        )
+        return jax.lax.dynamic_update_slice(
+            a, z.reshape(chunk, words), (r0, 0)
+        )
+
+    a = jnp.zeros((n_pad, words), jnp.uint32)
+    for c in range(n_chunks):
+        a = insert_rows(
+            a,
+            jnp.asarray(chunk_idx[c]),
+            jnp.asarray(chunk_val[c]),
+            jnp.int32(c * chunk),
+            chunk=chunk,
+        )
+    return a
+
+
+def _packed_neighbor_color_counts(
+    packed: jnp.ndarray,   # [n_pad, words] uint32
+    colors: jnp.ndarray,   # [n_pad] int32 (already masked)
+    n_col_pad: int,
+) -> jnp.ndarray:
+    """NC via k-chunked unpack + MXU contraction: each PACKED_K_CHUNK-wide
+    column window is unpacked to an int8 0/1 slab in one vectorized
+    shift-and-mask and contracted against the matching onehot rows; the
+    fori_loop keeps exactly one slab live (unrolled, the scheduler would
+    hold all slabs concurrently — same lesson as the chunked-palette
+    kernels, PERF.md round 2)."""
+    n_pad, words = packed.shape
+    k_total = words * 32
+    wc = PACKED_K_CHUNK // 32  # 128 uint32 lanes per window
+    n_k = words // wc
+    col_pad = jnp.full((k_total - n_pad,), jnp.int32(-1))
+    colors_k = jnp.concatenate([colors, col_pad]) if k_total > n_pad else colors
+    onehot = (
+        colors_k[:, None] == jnp.arange(n_col_pad, dtype=jnp.int32)[None, :]
+    ).astype(jnp.int8)
+    # packed_bit_coords order: window-local column jl = bit*128 + word
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+
+    def body(k, acc):
+        pk = jax.lax.dynamic_slice(packed, (0, k * wc), (n_pad, wc))
+        bits = (
+            ((pk[:, None, :] >> shifts) & jnp.uint32(1))
+            .astype(jnp.int8)
+            .reshape(n_pad, PACKED_K_CHUNK)
+        )
+        oh = jax.lax.dynamic_slice(
+            onehot, (k * PACKED_K_CHUNK, 0), (PACKED_K_CHUNK, n_col_pad)
+        )
+        return acc + jax.lax.dot_general(
+            bits,
+            oh,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    nc0 = jnp.zeros((n_pad, n_col_pad), jnp.int32)
+    if n_k == 1:
+        return body(0, nc0)
+    return jax.lax.fori_loop(0, n_k, body, nc0)
 
 
 def build_dense_adjacency(graph, n_pad: int, n_chunks: int = 8):
@@ -121,17 +297,26 @@ def build_dense_adjacency(graph, n_pad: int, n_chunks: int = 8):
 
 
 def neighbor_color_counts(
-    adj: jnp.ndarray,       # [n_pad, n_pad] int8
+    adj: jnp.ndarray,       # [n_pad, n_pad] int8 OR [n_pad, words] uint32
     colors: jnp.ndarray,    # [n_pad] int32 (out-of-palette = phantom)
     n_colors: int,
     node_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """[n_pad, n_col_pad] int32 neighbor color counts via one MXU
     contraction.  The color axis is padded to a lane multiple; padded
-    and phantom columns are exactly zero."""
+    and phantom columns are exactly zero.  A uint32 operand is treated
+    as the bit-packed layout (``build_packed_adjacency``)."""
     n_col_pad = (n_colors + 127) // 128 * 128
     if node_mask is not None:
         colors = jnp.where(node_mask, colors, -1)
+    if adj.dtype == jnp.uint32:
+        if PACKED_NC_IMPL == "pallas":
+            from mcmc_colorer_tpu.ops.pallas_bitmatmul import (
+                packed_nc_pallas,
+            )
+
+            return packed_nc_pallas(adj, colors, n_col_pad)
+        return _packed_neighbor_color_counts(adj, colors, n_col_pad)
     onehot = (
         colors[:, None]
         == jnp.arange(n_col_pad, dtype=jnp.int32)[None, :]

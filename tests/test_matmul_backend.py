@@ -110,6 +110,166 @@ def test_dense_adj_gates(small_er):
         )
 
 
+def _unpack(packed: np.ndarray, n_cols: int) -> np.ndarray:
+    """Decode the packed_bit_coords layout back to a dense 0/1 matrix."""
+    from mcmc_colorer_tpu.ops.dense_adj import packed_bit_coords
+
+    word, bit = packed_bit_coords(np.arange(n_cols, dtype=np.int64))
+    return ((packed[:, word] >> bit[None, :].astype(np.uint32)) & 1).astype(
+        np.int8
+    )
+
+
+def test_packed_adj_build_matches_dense(medium_er):
+    """The uint32 bit layout decodes to exactly the dense 0/1 matrix."""
+    from mcmc_colorer_tpu.ops.dense_adj import (
+        build_packed_adjacency,
+        packed_adj_words,
+    )
+
+    g = medium_er
+    ell = g.to_ell(pad_nodes_to=128)
+    packed = np.asarray(build_packed_adjacency(g, ell.n_pad))
+    assert packed.shape == (ell.n_pad, packed_adj_words(ell.n_pad))
+    dense = np.asarray(build_dense_adjacency(g, ell.n_pad))
+    assert np.array_equal(_unpack(packed, ell.n_pad), dense)
+
+
+def test_packed_nc_matches_dense_nc(medium_er):
+    g = medium_er
+    ell = g.to_ell(pad_nodes_to=128)
+    n_col = g.max_degree
+    from mcmc_colorer_tpu.ops.dense_adj import build_packed_adjacency
+
+    adj_d = build_dense_adjacency(g, ell.n_pad)
+    adj_p = build_packed_adjacency(g, ell.n_pad)
+    key = jax.random.key(7)
+    colors = jnp.where(
+        ell.node_mask,
+        jax.random.randint(key, (ell.n_pad,), 0, n_col, jnp.int32),
+        jnp.int32(n_col),
+    )
+    nc_d = neighbor_color_counts(adj_d, colors, n_col, ell.node_mask)
+    nc_p = neighbor_color_counts(adj_p, colors, n_col, ell.node_mask)
+    assert np.array_equal(np.asarray(nc_d), np.asarray(nc_p))
+
+
+def test_packed_nc_multiwindow():
+    """Graph wider than one PACKED_K_CHUNK window exercises the
+    fori_loop accumulation across unpack windows."""
+    from mcmc_colorer_tpu.graph.generate import erdos_renyi
+    from mcmc_colorer_tpu.ops.dense_adj import (
+        PACKED_K_CHUNK,
+        build_packed_adjacency,
+    )
+
+    g = erdos_renyi(PACKED_K_CHUNK + 640, 0.002, seed=4)
+    ell = g.to_ell(pad_nodes_to=128)
+    assert ell.n_pad > PACKED_K_CHUNK
+    n_col = g.max_degree
+    adj_d = build_dense_adjacency(g, ell.n_pad)
+    adj_p = build_packed_adjacency(g, ell.n_pad)
+    key = jax.random.key(11)
+    colors = jnp.where(
+        ell.node_mask,
+        jax.random.randint(key, (ell.n_pad,), 0, n_col, jnp.int32),
+        jnp.int32(n_col),
+    )
+    nc_d = neighbor_color_counts(adj_d, colors, n_col, ell.node_mask)
+    nc_p = neighbor_color_counts(adj_p, colors, n_col, ell.node_mask)
+    assert np.array_equal(np.asarray(nc_d), np.asarray(nc_p))
+
+
+def test_packed_nc_pallas_matches_dense():
+    """The bit-matmul kernel (interpret mode on CPU) reproduces the dense
+    NC bit-exactly, including k-window padding, multi-window graphs and a
+    color-block count that must divide n_col_pad (1152 -> bc=384)."""
+    from mcmc_colorer_tpu.graph.generate import erdos_renyi
+    from mcmc_colorer_tpu.ops.dense_adj import build_packed_adjacency
+    from mcmc_colorer_tpu.ops.pallas_bitmatmul import packed_nc_pallas
+
+    for n, p, ncol in [(1500, 0.05, 150), (4700, 0.01, 1100), (640, 0.3, 64)]:
+        g = erdos_renyi(n, p, seed=2)
+        ell = g.to_ell(pad_nodes_to=128)
+        adj_d = build_dense_adjacency(g, ell.n_pad)
+        adj_p = build_packed_adjacency(g, ell.n_pad)
+        key = jax.random.key(5)
+        colors = jnp.where(
+            ell.node_mask,
+            jax.random.randint(key, (ell.n_pad,), 0, ncol, jnp.int32),
+            jnp.int32(-1),
+        )
+        nc_d = neighbor_color_counts(adj_d, colors, ncol)
+        nc_k = packed_nc_pallas(adj_p, colors, nc_d.shape[1])
+        assert np.array_equal(np.asarray(nc_d), np.asarray(nc_k)), (n, p)
+
+
+def test_sweep_matmul_packed_bitexact(medium_er):
+    """The packed adjacency drives the SAME sweep bit-exactly (dtype
+    dispatch inside neighbor_color_counts)."""
+    from mcmc_colorer_tpu.ops.dense_adj import build_packed_adjacency
+
+    g = medium_er
+    ell = g.to_ell(pad_nodes_to=128)
+    params = _params(g, taboo_iterations=3)
+    adj_d = build_dense_adjacency(g, ell.n_pad)
+    adj_p = build_packed_adjacency(g, ell.n_pad)
+    key = jax.random.key(13)
+    k_c, k_u = jax.random.split(key)
+    colors = jnp.where(
+        ell.node_mask,
+        jax.random.randint(k_c, (ell.n_pad,), 0, params.n_colors, jnp.int32),
+        jnp.int32(params.n_colors),
+    )
+    taboo = jnp.zeros((ell.n_pad,), jnp.int32)
+    unif = jax.random.uniform(k_u, (ell.n_pad,), dtype=jnp.float32)
+    hist = color_histogram(colors, params.n_colors, ell.node_mask)
+    p_eff = _variant_distribution(params, hist, g.n)
+    out_d = _sweep_matmul(ell, adj_d, params, 128, colors, taboo, unif, p_eff)
+    out_p = _sweep_matmul(ell, adj_p, params, 128, colors, taboo, unif, p_eff)
+    for a, b in zip(out_d[:2], out_p[:2]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.isclose(float(out_d[2]), float(out_p[2]), rtol=1e-6)
+    assert int(out_d[3]) == int(out_p[3])
+
+
+def test_packed_duplicate_edges():
+    """Duplicate input edges (io keeps them) must not corrupt bit words."""
+    from mcmc_colorer_tpu.graph.container import Graph
+    from mcmc_colorer_tpu.ops.dense_adj import build_packed_adjacency
+
+    # 0-1 edge duplicated both ways, plus a 0-2 edge
+    rows = np.array([0, 0, 0, 1, 1, 2], np.int64)
+    cols = np.array([1, 1, 2, 0, 0, 0], np.int64)
+    g = Graph.from_edges(3, rows, cols, both_directions_present=True)
+    packed = np.asarray(build_packed_adjacency(g, 8))
+    ref = np.zeros((8, 8), np.int8)
+    ref[0, 1] = ref[0, 2] = ref[1, 0] = ref[2, 0] = 1
+    assert np.array_equal(_unpack(packed, 8), ref)
+
+
+def test_packed_adj_gates():
+    from mcmc_colorer_tpu.ops.dense_adj import packed_adj_ok
+
+    assert not packed_adj_ok(102_400)          # dense regime: dense wins
+    assert not packed_adj_ok(300_000)          # above the packed cap
+    assert packed_adj_ok(204_800, d_mean=500.0)
+    assert not packed_adj_ok(204_800, d_mean=50.0)  # gather already cheaper
+
+
+def test_chain_matmul_packed_valid(medium_er):
+    """backend='matmul' with a forced packed adjacency colors validly."""
+    from mcmc_colorer_tpu.ops.dense_adj import build_packed_adjacency
+
+    colorer = MCMCColorer(
+        medium_er, _params(medium_er, tailcut=True), backend="matmul"
+    )
+    colorer._adj = build_packed_adjacency(medium_er, colorer.ell.n_pad)
+    c = colorer.run(seed=21)
+    assert check_coloring(medium_er, c.colors)
+    assert c.extra["final_conflicts"] == 0
+
+
 def test_dense_adj_awkward_pad_factors():
     """n_pad = 128·13 has no 8-way 128-aligned split; the chunk search
     must climb until chunk·n_pad also fits int32 (round-2 regression:
