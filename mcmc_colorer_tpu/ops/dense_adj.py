@@ -38,14 +38,142 @@ DENSE_ADJ_MAX_N = 102_400
 PACKED_ADJ_MAX_N = 286_720
 PACKED_K_CHUNK = 4096  # unpack window: 128 uint32 lanes -> 4096 columns
 
-# packed-NC implementation: 'pallas' (in-kernel unpack, A read once at
-# n^2/8 bytes/sweep — ops/pallas_bitmatmul.py) or 'xla' (chunked
-# unpack-to-int8 loop, ~2.25*n^2 bytes/sweep; portable fallback)
-PACKED_NC_IMPL = "pallas"
+# packed-NC implementation: 'pallas' (in-kernel unpack, A read n_c times
+# per sweep at n^2/8 bytes each — ops/pallas_bitmatmul.py) or 'xla'
+# (chunked unpack-to-int8 loop, ~2.25*n^2 bytes/sweep; portable).
+# Default is the proven XLA path until the Mosaic kernel has a recorded
+# run on real hardware (scripts/bench_packed.py flips this when it
+# validates faster — advisor finding, round 2).
+PACKED_NC_IMPL = "xla"
 
 
 def dense_adj_bytes(n_pad: int) -> int:
     return n_pad * n_pad
+
+
+def get_adjacency(graph, n_pad: int, kind: str, ell=None):
+    """Cached dense/packed adjacency, one build per (graph, n_pad, kind).
+
+    The one-time on-device build must be shared across colorers and CLI
+    repetitions of the same graph.  The cache lives on the graph object
+    itself: it dies with the graph (freeing the HBM) and two graphs
+    never alias.  When the caller already holds the device ELL layout
+    (``ell``), the build scatters from it directly — no host edge
+    arrays ship to the device at all."""
+    cache = graph.__dict__.setdefault("_adj_cache", {})
+    key = (n_pad, kind)
+    if key not in cache:
+        if ell is not None and ell.n_pad == n_pad:
+            build = (
+                build_dense_adjacency_from_ell
+                if kind == "dense"
+                else build_packed_adjacency_from_ell
+            )
+            cache[key] = build(ell)
+        else:
+            build = (
+                build_dense_adjacency
+                if kind == "dense"
+                else build_packed_adjacency
+            )
+            cache[key] = build(graph, n_pad)
+    return cache[key]
+
+
+def _row_chunking(
+    n_pad: int, row_width: int, bytes_per_row: int, cap: int
+) -> int:
+    """Smallest feasible row-chunk count whose per-chunk scratch stays
+    under ``cap`` bytes: c must divide n_pad, keep 8-row tiles, and keep
+    chunk-local flat int32 indices (chunk · row_width) in range."""
+    def ok(c):
+        return (
+            n_pad % c == 0
+            and (n_pad // c) % 8 == 0
+            and (n_pad // c) * row_width < 2**31
+        )
+
+    c_min = max(1, -(-n_pad * bytes_per_row // cap))
+    cands = [c for c in range(c_min, 4097) if ok(c)]
+    if not cands:
+        raise ValueError(
+            f"no feasible row chunking for n_pad={n_pad}; pad the node "
+            "axis to a multiple of 8"
+        )
+    return cands[0]
+
+
+def build_dense_adjacency_from_ell(ell):
+    """[n_pad, n_pad] int8 adjacency scattered from the device-resident
+    ELL rectangle (``EllGraph.neighbors``): per row chunk, one 1-D
+    scatter of ``row·n_pad + neighbor`` with sentinel slots redirected
+    to a dropped out-of-bounds index.  Nothing ships from the host —
+    the edge data is already on the device."""
+    n_pad, d_pad = ell.neighbors.shape
+    n_chunks = _row_chunking(n_pad, n_pad, n_pad, 1536 * 1024**2)
+    chunk = n_pad // n_chunks
+    oob = jnp.int32(min(chunk * n_pad, 2**31 - 1))
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("chunk",))
+    def insert_rows(a, neigh, r0, *, chunk):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, d_pad), 0)
+        flat = (rows * jnp.int32(n_pad) + neigh).reshape(-1)
+        flat = jnp.where(neigh.reshape(-1) < jnp.int32(n_pad), flat, oob)
+        z = jnp.zeros((chunk * n_pad,), jnp.int8)
+        z = z.at[flat].set(jnp.int8(1), mode="drop")
+        return jax.lax.dynamic_update_slice(
+            a, z.reshape(chunk, n_pad), (r0, 0)
+        )
+
+    a = jnp.zeros((n_pad, n_pad), jnp.int8)
+    for c in range(n_chunks):
+        neigh = jax.lax.dynamic_slice(
+            ell.neighbors, (c * chunk, 0), (chunk, d_pad)
+        )
+        a = insert_rows(a, neigh, jnp.int32(c * chunk), chunk=chunk)
+    return a
+
+
+def build_packed_adjacency_from_ell(ell):
+    """[n_pad, words] uint32 bit-packed adjacency built on-device from
+    the ELL rectangle: per row chunk, scatter a dense int8 strip (as in
+    ``build_dense_adjacency_from_ell`` — set is duplicate-safe, unlike
+    the host path's scatter-add) and fold it into uint32 words in the
+    ``packed_bit_coords`` order with a shift-and-sum over the bit axis."""
+    n_pad, d_pad = ell.neighbors.shape
+    words = packed_adj_words(n_pad)
+    k_total = words * 32
+    n_k = words // 128
+    # scratch per row: dense int8 strip (k_total) + its uint32 widening
+    n_chunks = _row_chunking(n_pad, k_total, k_total * 5, 1536 * 1024**2)
+    chunk = n_pad // n_chunks
+    oob = jnp.int32(min(chunk * k_total, 2**31 - 1))
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("chunk",))
+    def insert_rows(a, neigh, r0, *, chunk):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, d_pad), 0)
+        # packed_bit_coords order (word = jl%128, bit = jl//128) makes
+        # the [n_k, 32, 128] reshape of a plain column-ordered strip land
+        # each column on its (word, bit) slot directly: the strip
+        # position of column v is v itself
+        flat = (rows * jnp.int32(k_total) + neigh).reshape(-1)
+        flat = jnp.where(neigh.reshape(-1) < jnp.int32(n_pad), flat, oob)
+        z = jnp.zeros((chunk * k_total,), jnp.int8)
+        z = z.at[flat].set(jnp.int8(1), mode="drop")
+        zw = z.reshape(chunk, n_k, 32, 128).astype(jnp.uint32)
+        packed = jnp.sum(zw << shifts, axis=2, dtype=jnp.uint32)
+        return jax.lax.dynamic_update_slice(
+            a, packed.reshape(chunk, words), (r0, 0)
+        )
+
+    a = jnp.zeros((n_pad, words), jnp.uint32)
+    for c in range(n_chunks):
+        neigh = jax.lax.dynamic_slice(
+            ell.neighbors, (c * chunk, 0), (chunk, d_pad)
+        )
+        a = insert_rows(a, neigh, jnp.int32(c * chunk), chunk=chunk)
+    return a
 
 
 def dense_adj_ok(n_pad: int, d_mean: float | None = None) -> bool:
@@ -80,6 +208,59 @@ def packed_adj_ok(n_pad: int, d_mean: float | None = None) -> bool:
     if d_mean is not None and d_mean * 2000 < n_pad:
         return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# cost model for backend='auto' amortization (VERDICT r2 item 2) — all
+# constants measured on the v5e chip (scripts/probe_adjbuild.py,
+# scripts/bench_packed.py, PERF.md round 3)
+# ---------------------------------------------------------------------------
+
+GATHER_ELEMS_S = 133e6      # XLA dynamic-gather wall (PERF.md)
+MATMUL_BYTES_S = 80e9       # effective HBM rate of the NC contraction
+PACKED_SWEEP_FACTOR = 2.25  # xla chunked-unpack traffic vs dense (bytes/n^2)
+# ELL-scatter build rates (scattered slots/s), all-in (incl. the one-time
+# compile): probe_adjbuild at n=100k measured dense/ell 28.3 s and
+# packed/ell 14.8 s for 113.7M ELL slots
+ADJ_BUILD_SLOTS_S = {"dense": 4.0e6, "packed": 7.5e6}
+
+
+def estimate_gather_sweep_s(n_pad: int, d_pad: int) -> float:
+    """Per-iteration cost of the fused-gather (pallas) sweep."""
+    return n_pad * d_pad / GATHER_ELEMS_S + 0.03
+
+
+def estimate_matmul_sweep_s(n_pad: int, kind: str) -> float:
+    """Per-iteration cost of the MXU sweep (A read dominates)."""
+    factor = 1.0 if kind == "dense" else PACKED_SWEEP_FACTOR
+    return factor * n_pad * n_pad / MATMUL_BYTES_S + 0.01
+
+
+def estimate_build_s(n_pad: int, d_pad: int, kind: str = "dense") -> float:
+    """One-time ELL-scatter adjacency build cost (scatter-rate bound:
+    every ELL slot, real or sentinel, is one scattered element)."""
+    return n_pad * d_pad / ADJ_BUILD_SLOTS_S[kind]
+
+
+def amortize_switch_iter(
+    n_pad: int, d_pad: int, kind: str, max_iterations: int
+) -> int | None:
+    """Ski-rental switch point for backend='auto': run the gather sweep
+    until the time spent on it roughly equals the adjacency build cost,
+    then build and switch to the MXU sweep (2-competitive against the
+    unknowable true iteration count: a run converging before the switch
+    never pays the build; a long run pays <= 2x the optimal).  Returns
+    None when the matmul path can never win within ``max_iterations``."""
+    g = estimate_gather_sweep_s(n_pad, d_pad)
+    m = estimate_matmul_sweep_s(n_pad, kind)
+    b = estimate_build_s(n_pad, d_pad, kind)
+    if m >= g:
+        return None
+    switch = int(b / g) + 1
+    # remaining iterations after the switch must recoup the build
+    if (max_iterations - switch) * (g - m) <= b:
+        return None
+    return switch
 
 
 def packed_bit_coords(v: np.ndarray):
@@ -129,7 +310,14 @@ def build_packed_adjacency(graph, n_pad: int):
             and (n_pad // c) * words < 2**31
         )
 
-    cands = [c for c in range(1, 4097) if ok(c)]
+    # chunk count floor: bound the per-chunk uint32 scratch buffer z
+    # ((n_pad/c) * words * 4 bytes) to ~1.5 GB so the transient peak
+    # (matrix + scratch) stays under the 16 GB chip even at
+    # PACKED_ADJ_MAX_N (matrix 10.3 GB) — mirroring
+    # build_dense_adjacency's start at n_chunks=8 (advisor, round 2)
+    scratch_cap = 1536 * 1024**2
+    c_min = max(1, -(-n_pad * words * 4 // scratch_cap))
+    cands = [c for c in range(c_min, 4097) if ok(c)]
     if not cands:
         raise ValueError(
             f"no feasible row chunking for n_pad={n_pad}; pad the node "
@@ -178,7 +366,8 @@ def build_packed_adjacency(graph, n_pad: int):
 
 
 def _packed_neighbor_color_counts(
-    packed: jnp.ndarray,   # [n_pad, words] uint32
+    packed: jnp.ndarray,   # [rows, words] uint32 (rows = n_pad, or a
+                           # row strip of it in the sharded formulation)
     colors: jnp.ndarray,   # [n_pad] int32 (already masked)
     n_col_pad: int,
 ) -> jnp.ndarray:
@@ -188,12 +377,13 @@ def _packed_neighbor_color_counts(
     fori_loop keeps exactly one slab live (unrolled, the scheduler would
     hold all slabs concurrently — same lesson as the chunked-palette
     kernels, PERF.md round 2)."""
-    n_pad, words = packed.shape
+    rows, words = packed.shape
     k_total = words * 32
     wc = PACKED_K_CHUNK // 32  # 128 uint32 lanes per window
     n_k = words // wc
-    col_pad = jnp.full((k_total - n_pad,), jnp.int32(-1))
-    colors_k = jnp.concatenate([colors, col_pad]) if k_total > n_pad else colors
+    n_src = colors.shape[0]
+    col_pad = jnp.full((k_total - n_src,), jnp.int32(-1))
+    colors_k = jnp.concatenate([colors, col_pad]) if k_total > n_src else colors
     onehot = (
         colors_k[:, None] == jnp.arange(n_col_pad, dtype=jnp.int32)[None, :]
     ).astype(jnp.int8)
@@ -201,11 +391,11 @@ def _packed_neighbor_color_counts(
     shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
 
     def body(k, acc):
-        pk = jax.lax.dynamic_slice(packed, (0, k * wc), (n_pad, wc))
+        pk = jax.lax.dynamic_slice(packed, (0, k * wc), (rows, wc))
         bits = (
             ((pk[:, None, :] >> shifts) & jnp.uint32(1))
             .astype(jnp.int8)
-            .reshape(n_pad, PACKED_K_CHUNK)
+            .reshape(rows, PACKED_K_CHUNK)
         )
         oh = jax.lax.dynamic_slice(
             onehot, (k * PACKED_K_CHUNK, 0), (PACKED_K_CHUNK, n_col_pad)
@@ -217,7 +407,7 @@ def _packed_neighbor_color_counts(
             preferred_element_type=jnp.int32,
         )
 
-    nc0 = jnp.zeros((n_pad, n_col_pad), jnp.int32)
+    nc0 = jnp.zeros((rows, n_col_pad), jnp.int32)
     if n_k == 1:
         return body(0, nc0)
     return jax.lax.fori_loop(0, n_k, body, nc0)
@@ -278,10 +468,12 @@ def build_dense_adjacency(graph, n_pad: int, n_chunks: int = 8):
     @partial(jax.jit, donate_argnums=(0,), static_argnames=("chunk",))
     def insert_rows(a, flat_local, r0, *, chunk):
         z = jnp.zeros((chunk * n_pad,), jnp.int8)
+        # NOT unique_indices: the oob padding index repeats (and io keeps
+        # duplicate input edges) — claiming uniqueness dropped ~0.1% of
+        # real entries on hardware (probe_adjbuild, round 3)
         z = z.at[flat_local].set(
             jnp.int8(1),
             indices_are_sorted=True,
-            unique_indices=True,
             mode="drop",
         )
         return jax.lax.dynamic_update_slice(

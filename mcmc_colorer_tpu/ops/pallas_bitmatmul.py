@@ -20,10 +20,14 @@ bytes, 8x less HBM traffic — and unpacks it in VMEM on the fly:
 - Accumulation runs over the k grid axis (innermost) into the output
   block, int8 x int8 -> int32 on the MXU.
 
-Per sweep the kernel therefore reads n_pad^2/8 + n_k*n_c*16K bytes and
-writes n_pad*C*4 — at n=100k that is ~1.3 GB vs the dense path's
-~10.6 GB.  Above the dense cap it is the only MXU formulation that fits:
-packed A at n_pad=286720 is 10.3 GB.
+Per sweep the kernel reads n_c * n_pad^2/8 + n_k*n_c*16K bytes and
+writes n_pad*C*4, where n_c = n_col_pad / BC is the number of
+color-window grid steps: each packed block is refetched once per color
+window (the cost_estimate encodes this), so the packed A streams exactly
+once only when n_col_pad <= BIT_MM_BLOCK_COLS.  At n=100k, nCol<=1024
+that is ~1.3 GB vs the dense path's ~10.6 GB; at nCol=3072 it is ~3.9 GB
+(still 2.7x less).  Above the dense cap it is the only MXU formulation
+that fits: packed A at n_pad=286720 is 10.3 GB.
 """
 
 from __future__ import annotations

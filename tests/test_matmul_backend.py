@@ -286,3 +286,114 @@ def test_dense_adj_awkward_pad_factors():
     u = np.repeat(np.arange(g.n), deg)
     ref[u, np.asarray(g.cols)] = 1
     assert np.array_equal(a, ref)
+
+
+def test_ell_builders_match_host_builds(medium_er):
+    """The device-side ELL builds (no host edge arrays) are bit-equal to
+    the host-scatter builds, including multi-window widths."""
+    from mcmc_colorer_tpu.graph.generate import erdos_renyi
+    from mcmc_colorer_tpu.ops.dense_adj import (
+        PACKED_K_CHUNK,
+        build_dense_adjacency_from_ell,
+        build_packed_adjacency,
+        build_packed_adjacency_from_ell,
+    )
+
+    for g in (medium_er, erdos_renyi(PACKED_K_CHUNK + 640, 0.002, seed=4)):
+        ell = g.to_ell(pad_nodes_to=128)
+        dense_h = np.asarray(build_dense_adjacency(g, ell.n_pad))
+        dense_e = np.asarray(build_dense_adjacency_from_ell(ell))
+        assert np.array_equal(dense_h, dense_e)
+        packed_h = np.asarray(build_packed_adjacency(g, ell.n_pad))
+        packed_e = np.asarray(build_packed_adjacency_from_ell(ell))
+        assert np.array_equal(packed_h, packed_e)
+
+
+def test_ell_builder_duplicate_edges():
+    """Duplicate edges (set-scatter) stay exact in the ELL packed build."""
+    from mcmc_colorer_tpu.graph.container import Graph
+    from mcmc_colorer_tpu.ops.dense_adj import (
+        build_packed_adjacency_from_ell,
+    )
+
+    rows = np.array([0, 0, 0, 1, 1, 2], np.int64)
+    cols = np.array([1, 1, 2, 0, 0, 0], np.int64)
+    g = Graph.from_edges(3, rows, cols, both_directions_present=True)
+    ell = g.to_ell(pad_nodes_to=8)
+    packed = np.asarray(build_packed_adjacency_from_ell(ell))
+    ref = np.zeros((8, 8), np.int8)
+    ref[0, 1] = ref[0, 2] = ref[1, 0] = ref[2, 0] = 1
+    assert np.array_equal(_unpack(packed, 8), ref)
+
+
+def test_get_adjacency_cache(medium_er):
+    """One build per (graph, n_pad, kind), shared across colorers."""
+    from mcmc_colorer_tpu.ops import dense_adj as da
+
+    g = medium_er
+    ell = g.to_ell(pad_nodes_to=128)
+    a1 = da.get_adjacency(g, ell.n_pad, "dense", ell=ell)
+    a2 = da.get_adjacency(g, ell.n_pad, "dense")
+    assert a1 is a2
+    p1 = da.get_adjacency(g, ell.n_pad, "packed", ell=ell)
+    assert p1 is da.get_adjacency(g, ell.n_pad, "packed", ell=ell)
+    assert a1 is not p1
+    assert set(g._adj_cache) == {(ell.n_pad, "dense"), (ell.n_pad, "packed")}
+
+
+def test_amortize_switch_iter():
+    from mcmc_colorer_tpu.ops.dense_adj import (
+        amortize_switch_iter,
+        estimate_build_s,
+        estimate_gather_sweep_s,
+        estimate_matmul_sweep_s,
+    )
+
+    # headline regime: matmul wins well within the 250-iteration budget
+    s = amortize_switch_iter(102_400, 1152, "dense", 250)
+    assert s is not None and 0 < s < 250
+    # the switch point charges ~the build cost to the gather phase
+    assert s * estimate_gather_sweep_s(102_400, 1152) >= estimate_build_s(
+        102_400, 1152
+    )
+    # tiny budget: can never recoup the build
+    assert amortize_switch_iter(102_400, 1152, "dense", 4) is None
+    # gather already cheap (low degree): matmul never wins
+    assert (
+        estimate_matmul_sweep_s(102_400, "dense")
+        > estimate_gather_sweep_s(102_400, 16)
+    ) == (amortize_switch_iter(102_400, 16, "dense", 250) is None)
+
+
+def test_adaptive_switch_bitexact(medium_er):
+    """A mid-run pallas->matmul switch produces the same chain as either
+    backend alone (shared key schedule)."""
+    # a palette hard enough that the chain outlives the first segment
+    # (INIT_BUDGET=4 iterations) — otherwise the switch never arms
+    p = _params(medium_er, tailcut=True)
+    p = MCMCParams(
+        n_colors=max(2, medium_er.max_degree // 3),
+        proposal=p.proposal,
+        tailcut=True,
+        max_iterations=30,
+    )
+    r_mm = MCMCColorer(medium_er, p, backend="matmul").run(seed=31)
+    c_ad = MCMCColorer(medium_er, p, backend="pallas")
+    # arm the deferred-matmul machinery by hand (auto only arms on TPU)
+    import jax
+    from functools import partial
+
+    from mcmc_colorer_tpu.models.mcmc import _chain_segment_matmul
+
+    c_ad._switch_iter = 2
+    c_ad._adj_kind = "dense"
+    c_ad._jit_segment_matmul = jax.jit(
+        partial(_chain_segment_matmul, params=p, block=c_ad.block)
+    )
+    r_ad = c_ad.run(seed=31)
+    assert c_ad._adj is not None  # the switch actually happened
+    assert np.array_equal(r_mm.colors, r_ad.colors)
+    assert r_mm.iterations == r_ad.iterations
+    # second run reuses the built adjacency from iteration 0
+    r_ad2 = c_ad.run(seed=31)
+    assert np.array_equal(r_mm.colors, r_ad2.colors)
