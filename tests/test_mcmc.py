@@ -276,3 +276,60 @@ def test_bucketed_hastings_runs(small_er):
     assert (rb.extra["final_conflicts"] == 0) == (
         rf.extra["final_conflicts"] == 0
     )
+
+
+# ------------------ sequential Hastings / fill_qstar (r3) ------------------
+
+
+def test_sequential_fill_qstar_formula(small_er):
+    """qstar follows the lookOldColoring formula
+    (coloringMCMC_standard.cu:88-135) against a brute-force recompute."""
+    g = small_er
+    n_col = 6
+    p = _params(n_col)
+    colorer = SequentialMCMCColorer(g, p)
+    rng = np.random.default_rng(0)
+    old = rng.integers(0, n_col, g.n)
+    new = rng.integers(0, n_col, g.n)
+    qstar = colorer._fill_qstar(new, old)
+    eps = p.epsilon
+    for i in range(g.n):
+        occ = np.zeros(n_col, bool)
+        occ[new[g.neighbors_of(i)]] = True
+        zv, zp = occ.sum(), n_col - occ.sum()
+        if zp == 0:
+            want = 1.0
+        elif occ[new[i]]:
+            want = eps if occ[old[i]] else (1 - eps * zv) / zp
+        else:
+            want = 1 - (n_col - 1) * eps if new[i] == old[i] else eps
+        assert np.isclose(qstar[i], want), i
+
+
+def test_sequential_hastings_gates_swaps(small_er):
+    """With hastings=True the MH test gates swaps: at reference ε=1e-8
+    the reverse proposal is astronomically unlikely so (nearly) every
+    proposal is rejected — the very reason the reference ships with the
+    test disabled (SURVEY §9.2) — while a softened ε accepts a few."""
+    p = _params(
+        18, epsilon=0.02, proposal=ProposalKind.STANDARD, hastings=True,
+        lambda_=5.0, max_iterations=40,
+    )
+    r = SequentialMCMCColorer(small_er, p).run(seed=2)
+    assert 0 < r.extra["accepted_iterations"] < r.iterations
+    # reference ε: everything rejected, colors stay at the init state
+    p_ref = _params(18, hastings=True, max_iterations=15)
+    r_ref = SequentialMCMCColorer(small_er, p_ref).run(seed=2)
+    assert r_ref.extra["accepted_iterations"] == 0
+    # the always-accept chain reports every iteration accepted
+    p2 = _params(18, max_iterations=10)
+    r2 = SequentialMCMCColorer(small_er, p2).run(seed=2)
+    assert r2.extra["accepted_iterations"] == r2.iterations
+
+
+def test_sequential_free_color_trace(small_er):
+    p = _params(small_er.max_degree, max_iterations=12)
+    r = SequentialMCMCColorer(small_er, p).run(seed=6)
+    fct = r.extra["free_color_trace"]
+    assert fct.shape == (r.iterations, 3)
+    assert (fct[:, 0] <= fct[:, 2]).all() and (fct[:, 2] <= fct[:, 1]).all()
