@@ -268,9 +268,14 @@ class MCMCColorer:
                         degree_pad_for,
                     )
 
+                    from mcmc_colorer_tpu.ops.dense_adj import (
+                        PACKED_NC_IMPL,
+                    )
+
                     kind = (
                         "dense"
-                        if n_pad_est <= DENSE_ADJ_MAX_N
+                        if PACKED_NC_IMPL != "pallas"
+                        and n_pad_est <= DENSE_ADJ_MAX_N
                         else "packed"
                     )
                     d_pad_est = (
@@ -336,15 +341,24 @@ class MCMCColorer:
                 packed_adj_bytes,
             )
 
-            # dense only up to the same cap dense_adj_ok uses: between
-            # DENSE_ADJ_MAX_N and the raw 12 GiB bound the dense matrix
-            # (10.5-12.7 GB) exceeds the 16 GB chip's working headroom,
-            # while the packed one is ~1.6 GB (advisor finding, round 2)
-            if not force_packed and self.ell.n_pad <= DENSE_ADJ_MAX_N:
+            from mcmc_colorer_tpu.ops.dense_adj import PACKED_NC_IMPL
+
+            # On TPU with the Mosaic bit-matmul validated, packed A is
+            # strictly better than dense (bench_packed r3: 121 vs
+            # 133 ms/iter, 8x less HBM, 2x faster build); dense remains
+            # the layout when only the XLA unpack is available (CPU, or
+            # PACKED_NC_IMPL='xla') and the matrix fits — between
+            # DENSE_ADJ_MAX_N and 12 GiB it exceeds the 16 GB chip's
+            # working headroom (advisor finding, round 2)
+            prefer_packed = force_packed or (
+                PACKED_NC_IMPL == "pallas"
+                and jax.default_backend() not in ("cpu", "gpu")
+            )
+            if not prefer_packed and self.ell.n_pad <= DENSE_ADJ_MAX_N:
                 kind = "dense"
             elif packed_adj_bytes(self.ell.n_pad) <= 12 * 1024**3:
-                # above the dense cap: bit-packed A (n_pad^2/8 bytes),
-                # same NC contraction with an in-loop unpack window
+                # bit-packed A (n_pad^2/8 bytes): the NC contraction
+                # with an in-kernel unpack (ops/pallas_bitmatmul.py)
                 kind = "packed"
             else:
                 raise ValueError(

@@ -41,10 +41,11 @@ PACKED_K_CHUNK = 4096  # unpack window: 128 uint32 lanes -> 4096 columns
 # packed-NC implementation: 'pallas' (in-kernel unpack, A read n_c times
 # per sweep at n^2/8 bytes each — ops/pallas_bitmatmul.py) or 'xla'
 # (chunked unpack-to-int8 loop, ~2.25*n^2 bytes/sweep; portable).
-# Default is the proven XLA path until the Mosaic kernel has a recorded
-# run on real hardware (scripts/bench_packed.py flips this when it
-# validates faster — advisor finding, round 2).
-PACKED_NC_IMPL = "xla"
+# Hardware-validated round 3 (scripts/bench_packed.py, ER(100k, 0.01),
+# nCol=1131, v5e): pallas 121.1 ms/iter vs xla 220.2 ms vs dense int8
+# 132.6 ms — the Mosaic kernel wins AND beats the dense path, so packed
+# A is the preferred matmul layout on TPU (8x less HBM, 2x faster build).
+PACKED_NC_IMPL = "pallas"
 
 
 def dense_adj_bytes(n_pad: int) -> int:
@@ -218,11 +219,14 @@ def packed_adj_ok(n_pad: int, d_mean: float | None = None) -> bool:
 
 GATHER_ELEMS_S = 133e6      # XLA dynamic-gather wall (PERF.md)
 MATMUL_BYTES_S = 80e9       # effective HBM rate of the NC contraction
-PACKED_SWEEP_FACTOR = 2.25  # xla chunked-unpack traffic vs dense (bytes/n^2)
+# measured packed-sweep time relative to dense n^2 bytes (bench_packed,
+# n=100k, nCol=1131): pallas in-kernel unpack 121 ms vs dense 133 ms;
+# the portable xla unpack loop 220 ms
+PACKED_SWEEP_FACTORS = {"pallas": 0.92, "xla": 1.65}
 # ELL-scatter build rates (scattered slots/s), all-in (incl. the one-time
-# compile): probe_adjbuild at n=100k measured dense/ell 28.3 s and
-# packed/ell 14.8 s for 113.7M ELL slots
-ADJ_BUILD_SLOTS_S = {"dense": 4.0e6, "packed": 7.5e6}
+# compile): probe_adjbuild/bench_packed at n=100k measured dense/ell
+# 28-38 s and packed/ell ~15 s for ~116M ELL slots
+ADJ_BUILD_SLOTS_S = {"dense": 3.5e6, "packed": 7.5e6}
 
 
 def estimate_gather_sweep_s(n_pad: int, d_pad: int) -> float:
@@ -232,7 +236,9 @@ def estimate_gather_sweep_s(n_pad: int, d_pad: int) -> float:
 
 def estimate_matmul_sweep_s(n_pad: int, kind: str) -> float:
     """Per-iteration cost of the MXU sweep (A read dominates)."""
-    factor = 1.0 if kind == "dense" else PACKED_SWEEP_FACTOR
+    factor = (
+        1.0 if kind == "dense" else PACKED_SWEEP_FACTORS[PACKED_NC_IMPL]
+    )
     return factor * n_pad * n_pad / MATMUL_BYTES_S + 0.01
 
 

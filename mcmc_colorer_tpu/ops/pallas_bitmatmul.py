@@ -116,8 +116,12 @@ def packed_nc_pallas(
         if n_col_pad % c == 0
     )
     n_c = n_col_pad // bc
+    # pad by the COLOR source length (== rows for the square adjacency;
+    # rows is a shard strip height in the sharded formulation)
     colors_k = jnp.pad(
-        colors, (0, k_total - n_pad), constant_values=jnp.int32(-1)
+        colors,
+        (0, k_total - colors.shape[0]),
+        constant_values=jnp.int32(-1),
     ).reshape(n_k, 32, 128)
     grid = (n_pad // block_rows, n_c, n_k)
     return pl.pallas_call(

@@ -134,6 +134,8 @@ class ShardedMCMCColorer:
                 else "xla"
             )
         self.backend = backend
+        if backend not in ("pallas", "xla", "matmul"):
+            raise ValueError(f"unknown sharded backend {backend!r}")
         self.graph = graph
         self.params = params
         self.mesh = mesh
@@ -163,6 +165,26 @@ class ShardedMCMCColorer:
         )
         self._n_pad = self.ell.n_pad
         n_loc_final = self._n_pad // ms
+        self._adj_strip = None
+        if backend == "matmul":
+            # adjacency-strip formulation (VERDICT r2 item 1b): each
+            # shard holds its [n_loc, n_pad] rows of the bit-packed
+            # adjacency (n_pad^2/8/S bytes) and computes its NC rows as
+            # one MXU contraction per sweep instead of the per-shard
+            # neighbor-color gather — the only road to MXU-rate sweeps
+            # beyond the single-chip packed cap (ER(1M) on >=16 shards)
+            from mcmc_colorer_tpu.ops.dense_adj import packed_adj_words
+
+            strip_bytes = n_loc_final * packed_adj_words(self._n_pad) * 4
+            if strip_bytes > 12 * 1024**3:
+                raise ValueError(
+                    f"packed adjacency strip needs {strip_bytes/1e9:.1f} "
+                    f"GB per shard at n_pad={self._n_pad} over {ms} "
+                    "shards; add shards or use backend='pallas'"
+                )
+            self._adj_strip = _build_packed_strips(
+                self._sharded_neighbors(), mesh
+            )
         if active_cap is not None:
             active_cap = min(
                 n_loc_final, ((max(active_cap, 1) + 127) // 128) * 128
@@ -305,7 +327,10 @@ class ShardedMCMCColorer:
                 if rip_h >= maxr or not (_host_get(state[5]) > z).any():
                     break
                 state = self._jit_segment(
-                    neighbors, state, jnp.int32(min(rip_h + segment, maxr))
+                    neighbors,
+                    self._adj_strip,
+                    state,
+                    jnp.int32(min(rip_h + segment, maxr)),
                 )
                 if checkpoint_path:
                     self.save_checkpoint(state, checkpoint_path)
@@ -317,7 +342,10 @@ class ShardedMCMCColorer:
             def seg_fn(st, b):
                 rip_h = int(_host_get(st[4]))
                 return self._jit_segment(
-                    neighbors, st, jnp.int32(min(rip_h + b, maxr))
+                    neighbors,
+                    self._adj_strip,
+                    st,
+                    jnp.int32(min(rip_h + b, maxr)),
                 )
 
             def progress(st):
@@ -426,8 +454,80 @@ class ShardedMCMCColorer:
 # ------------------------------ shard_map body -----------------------------
 
 
+def _build_packed_strips(neighbors, mesh: Mesh, target_slots=40_000_000):
+    """[n_pad, words] uint32 bit-packed adjacency, rows sharded
+    P('shards', None) — each shard's slice IS its [n_loc, n_pad] strip in
+    the ``packed_bit_coords`` bit order (ops/dense_adj.py).
+
+    Built band-wise from the already-sharded ELL: every call packs the
+    same local row band on every shard (scatter a dense int8 strip, fold
+    to uint32 words), driven from the host so no single execution
+    crosses the ~60 s wall (utils/segmented.py).  Nothing ships from the
+    host and nothing crosses the mesh — each shard scatters only its own
+    rows."""
+    from mcmc_colorer_tpu.ops.dense_adj import packed_adj_words
+
+    n_pad, d_pad = neighbors.shape
+    ms = mesh.shape["shards"]
+    n_loc = n_pad // ms
+    words = packed_adj_words(n_pad)
+    k_total = words * 32
+    n_k = words // 128
+    # band height: multiple of 8 dividing n_loc (128 | n_loc by
+    # construction), scratch z <= ~1.5 GB, flat int32 indices in range,
+    # and <= target_slots scattered slots per execution (~wall/3)
+    cap_rows = max(
+        8,
+        min(
+            1536 * 1024**2 // (k_total * 5),
+            (2**31 - 1) // k_total,
+            target_slots // max(d_pad, 1),
+        ),
+    )
+    bh = 8
+    d = 8
+    while d <= n_loc:
+        if n_loc % d == 0 and d <= cap_rows:
+            bh = d
+        d *= 2
+    oob = jnp.int32(min(bh * k_total, 2**31 - 1))
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
+
+    def band_body(a_loc, neigh_loc, r0):
+        nb = jax.lax.dynamic_slice(neigh_loc, (r0, 0), (bh, d_pad))
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bh, d_pad), 0)
+        flat = (rows * jnp.int32(k_total) + nb).reshape(-1)
+        flat = jnp.where(nb.reshape(-1) < jnp.int32(n_pad), flat, oob)
+        z = jnp.zeros((bh * k_total,), jnp.int8)
+        z = z.at[flat].set(jnp.int8(1), mode="drop")
+        zw = z.reshape(bh, n_k, 32, 128).astype(jnp.uint32)
+        packed = jnp.sum(zw << shifts, axis=2, dtype=jnp.uint32)
+        return jax.lax.dynamic_update_slice(
+            a_loc, packed.reshape(bh, words), (r0, 0)
+        )
+
+    band = jax.jit(
+        jax.shard_map(
+            band_body,
+            mesh=mesh,
+            in_specs=(P("shards", None), P("shards", None), P()),
+            out_specs=P("shards", None),
+            check_vma=False,
+        ),
+        donate_argnums=(0,),
+    )
+    a = jax.jit(
+        lambda: jnp.zeros((n_pad, words), jnp.uint32),
+        out_shardings=NamedSharding(mesh, P("shards", None)),
+    )()
+    for r0 in range(0, n_loc, bh):
+        a = band(a, neighbors, jnp.int32(r0))
+    return a
+
+
 def _run_sharded_segment(
     neighbors,   # [n_pad, d_pad] sharded P('shards', None)
+    adj_strip,   # [n_pad, words] uint32 sharded P('shards', None), or None
     state,       # ShardedState pytree (see _sharded_init for shardings)
     rip_limit,   # int32 scalar (replicated): stop when rip reaches it
     *,
@@ -456,6 +556,7 @@ def _run_sharded_segment(
 
     def body_fn(
         neigh_loc,
+        strip_loc,
         colors0,
         taboo0,
         cnt0,
@@ -492,6 +593,51 @@ def _run_sharded_segment(
             halves exactly (distributed ``idx < neigh`` dedup)."""
             local = jnp.sum(cnt, axis=1, dtype=jnp.int32)
             return jax.lax.psum(local, "shards") // 2
+
+        n_col_pad = (n_colors + 127) // 128 * 128
+
+        def nc_of(cf):
+            """[n_loc, n_col_pad] neighbor color counts of the owned
+            vertices as ONE MXU contraction against this shard's packed
+            adjacency strip (matmul backend; the sharded rendition of
+            ops/dense_adj.py:neighbor_color_counts).  Subsumes the
+            occupancy, the per-vertex same-color counts, AND the
+            Hastings reverse occupancy — no neighbor gathers at all.
+            On TPU the contraction is the hardware-validated Mosaic
+            bit-matmul (bench_packed r3: 121 ms/iter at n=100k)."""
+            from mcmc_colorer_tpu.ops.dense_adj import (
+                PACKED_NC_IMPL,
+                _packed_neighbor_color_counts,
+            )
+
+            masked = jnp.where(full_real, cf, jnp.int32(-1))
+            if PACKED_NC_IMPL == "pallas" and jax.default_backend() not in (
+                "cpu",
+                "gpu",
+            ):
+                from mcmc_colorer_tpu.ops.pallas_bitmatmul import (
+                    packed_nc_pallas,
+                )
+
+                return packed_nc_pallas(strip_loc, masked, n_col_pad)
+            return _packed_neighbor_color_counts(
+                strip_loc, masked, n_col_pad
+            )
+
+        def cnt_of_nc(nc, cf):
+            """[n_loc] same-color-neighbor counts read out of an NC
+            matrix — NC[i, c_i] without a gather (compare-sum over the
+            color axis, as in _sweep_matmul; phantom strip rows are
+            all-zero, so they contribute 0)."""
+            own = jnp.take(cf, jnp.clip(self_gids, 0, n_pad - 1))
+            col_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (1, n_col_pad), 1
+            )
+            return jnp.sum(
+                jnp.where(col_ids == own[:, None], nc, 0),
+                axis=1,
+                dtype=jnp.int32,
+            )
 
         undone0 = jax.lax.psum(
             jnp.sum((conflicts0 > z).astype(jnp.int32)), "chains"
@@ -573,6 +719,68 @@ def _run_sharded_segment(
                     qstar = jnp.where(real_loc, qstar, 1.0)
                     logq = jnp.sum(jnp.log(jnp.maximum(qstar, 1e-30)))
                     return star, new_tb, key, logq
+
+                if backend == "matmul":
+                    # occupancy from this shard's strip contraction; the
+                    # proposal math is the gather branch's, verbatim, on
+                    # the padded color axis — bit-identical chains
+                    nc_full = nc_of(cf)
+                    p_eff_pad = None
+                    if p_eff is not None:
+                        p_eff_pad = (
+                            jnp.zeros((n_col_pad,), jnp.float32)
+                            .at[:n_colors]
+                            .set(p_eff)
+                        )
+                    n_blocks = n_loc // block
+
+                    def block_fn_mm(xs):
+                        nc_blk, cur_b, tb_b, u_b, real_b = xs
+                        occ = nc_blk > 0
+                        q = _proposal_q(
+                            cur_b,
+                            occ,
+                            params,
+                            p_eff_pad,
+                            eps_eff,
+                            n_colors=n_colors,
+                        )
+                        chosen = _sample_cdf(q, u_b, n_colors=n_colors)
+                        qstar = jnp.take_along_axis(
+                            q, chosen[:, None], axis=1
+                        )[:, 0]
+                        t_act = tb_b > 0
+                        keep_prob = 1.0 - (n_colors - 1) * eps_eff
+                        chosen = jnp.where(t_act, cur_b, chosen)
+                        qstar = jnp.where(t_act, keep_prob, qstar)
+                        new_tb = jnp.where(
+                            t_act,
+                            tb_b - 1,
+                            jnp.where(
+                                chosen == cur_b,
+                                jnp.int32(params.taboo_iterations),
+                                0,
+                            ),
+                        )
+                        chosen = jnp.where(real_b, chosen, cur_b)
+                        qstar = jnp.where(real_b, qstar, 1.0)
+                        logq = jnp.sum(jnp.log(jnp.maximum(qstar, 1e-30)))
+                        return chosen, new_tb, logq
+
+                    xs = (
+                        nc_full.reshape(n_blocks, block, n_col_pad),
+                        cur_loc.reshape(n_blocks, block),
+                        tb.reshape(n_blocks, block),
+                        u_loc.reshape(n_blocks, block),
+                        real_loc.reshape(n_blocks, block),
+                    )
+                    star_b, tb_b, logq_b = jax.lax.map(block_fn_mm, xs)
+                    return (
+                        star_b.reshape(n_loc),
+                        tb_b.reshape(n_loc),
+                        key,
+                        jnp.sum(logq_b),
+                    )
 
                 n_blocks = n_loc // block
 
@@ -665,6 +873,69 @@ def _run_sharded_segment(
                 )
                 return jnp.sum(jax.lax.map(blk, xs))
 
+            def reverse_logq_nc(nc_star, cf, star_full):
+                """`reverse_logq_loc` fed by the precomputed NC(star)
+                strip (matmul backend; mirrors
+                models/mcmc.py:_reverse_logq_matmul per shard)."""
+                cur_loc = jnp.take(cf, jnp.clip(self_gids, 0, n_pad - 1))
+                star_own = jnp.take(
+                    star_full, jnp.clip(self_gids, 0, n_pad - 1)
+                )
+                n_blocks = n_loc // block
+
+                def blk(xs):
+                    nc_blk, cur_b, star_b, real_b = xs
+                    col_ids = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, n_col_pad), 1
+                    )
+                    occ = nc_blk > 0
+                    col_valid = col_ids < n_colors
+                    zn = jnp.sum(occ & col_valid, axis=1, dtype=jnp.int32)
+                    zp = jnp.int32(n_colors) - zn
+                    occ_star = (
+                        jnp.sum(
+                            jnp.where(
+                                col_ids == star_b[:, None], nc_blk, 0
+                            ),
+                            axis=1,
+                            dtype=jnp.int32,
+                        )
+                        > 0
+                    )
+                    occ_cur = (
+                        jnp.sum(
+                            jnp.where(
+                                col_ids == cur_b[:, None], nc_blk, 0
+                            ),
+                            axis=1,
+                            dtype=jnp.int32,
+                        )
+                        > 0
+                    )
+                    move_q = jnp.where(
+                        occ_cur,
+                        eps_eff,
+                        (1.0 - eps_eff * zn.astype(jnp.float32))
+                        / jnp.maximum(zp, 1).astype(jnp.float32),
+                    )
+                    keep_q = jnp.where(
+                        star_b == cur_b,
+                        1.0 - (n_colors - 1) * eps_eff,
+                        eps_eff,
+                    )
+                    q_old = jnp.where(occ_star, move_q, keep_q)
+                    q_old = jnp.where(zp == 0, 1.0, q_old)
+                    q_old = jnp.where(real_b, q_old, 1.0)
+                    return jnp.sum(jnp.log(jnp.maximum(q_old, 1e-30)))
+
+                xs = (
+                    nc_star.reshape(n_blocks, block, n_col_pad),
+                    cur_loc.reshape(n_blocks, block),
+                    star_own.reshape(n_blocks, block),
+                    real_loc.reshape(n_blocks, block),
+                )
+                return jnp.sum(jax.lax.map(blk, xs))
+
             def full_branch(cf, tb, cnt_c, key):
                 """Full synchronous sweep + halo exchange + cnt recompute
                 (the recompute IS the conflict count's gather).  With
@@ -678,12 +949,20 @@ def _run_sharded_segment(
                 star_full = jax.lax.all_gather(
                     star_loc, "shards", axis=0, tiled=True
                 )
-                cnt_star = cnt_of(star_full)
+                nc_star = nc_of(star_full) if backend == "matmul" else None
+                cnt_star = (
+                    cnt_of_nc(nc_star, star_full)
+                    if backend == "matmul"
+                    else cnt_of(star_full)
+                )
                 if params.hastings:
                     key, k_acc = jax.random.split(key)
                     logq_star = jax.lax.psum(logq_star_loc, "shards")
                     logq_old = jax.lax.psum(
-                        reverse_logq_loc(cf, star_full), "shards"
+                        reverse_logq_nc(nc_star, cf, star_full)
+                        if backend == "matmul"
+                        else reverse_logq_loc(cf, star_full),
+                        "shards",
                     )
                     conf_old = (
                         jax.lax.psum(
@@ -1041,14 +1320,25 @@ def _run_sharded_segment(
         P(),                     # prev_pooled
         P(),                     # stall
     )
+    if adj_strip is None:
+        mapped = jax.shard_map(
+            lambda neigh_loc, *rest: body_fn(neigh_loc, None, *rest),
+            mesh=mesh,
+            in_specs=(P("shards", None),) + state_specs + (P(),),
+            out_specs=state_specs,
+            check_vma=False,
+        )
+        return mapped(neighbors, *state, rip_limit)
     mapped = jax.shard_map(
         body_fn,
         mesh=mesh,
-        in_specs=(P("shards", None),) + state_specs + (P(),),
+        in_specs=(P("shards", None), P("shards", None))
+        + state_specs
+        + (P(),),
         out_specs=state_specs,
         check_vma=False,
     )
-    return mapped(neighbors, *state, rip_limit)
+    return mapped(neighbors, adj_strip, *state, rip_limit)
 
 
 def _sharded_init(

@@ -110,9 +110,9 @@ def main():
         )
         return steady / iters
 
-    if da.dense_adj_bytes(n_pad) <= 12 * 1024**3:
+    if n_pad <= da.DENSE_ADJ_MAX_N:
         t0 = time.perf_counter()
-        adj_d = da.build_dense_adjacency(g, n_pad)
+        adj_d = da.build_dense_adjacency_from_ell(ell)
         np.asarray(adj_d[:1, :1])
         log(f"dense A build {time.perf_counter()-t0:.1f}s "
             f"({adj_d.size/1e9:.1f} GB)")
@@ -123,7 +123,7 @@ def main():
         t_dense = None
 
     t0 = time.perf_counter()
-    adj_p = da.build_packed_adjacency(g, n_pad)
+    adj_p = da.build_packed_adjacency_from_ell(ell)
     np.asarray(adj_p[:1, :1])
     log(
         f"packed A build {time.perf_counter()-t0:.1f}s "

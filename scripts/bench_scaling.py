@@ -71,14 +71,25 @@ def validate_correctness():
 
 
 def model_efficiency(n=1_000_000, d=1150):
-    print(f"\nmodeled per-sweep cost at n={n}, d_pad={d}:")
-    for s in (1, 2, 4, 8, 16, 32):
-        compute = (n / s) * d / GATHER_RATE
+    """Per-sweep cost model, both sharded backends.  Collective volume is
+    the HLO-verified n·4 bytes/chip/sweep (scripts/collective_volume.py:
+    measured/model ratio 1.00); compute is the measured gather wall
+    (gather backend) or the bit-matmul HBM stream (strip backend,
+    bench_packed r3: 0.92 n²/80e9 s per full matrix read, n_c color
+    windows)."""
+    n_c = max(1, -(-((d + 127) // 128 * 128) // 1024))  # color windows
+    print(f"\nmodeled per-sweep cost at n={n}, d_pad={d} (n_c={n_c}):")
+    for s in (1, 2, 4, 8, 16, 32, 64):
         comm = 4.0 * n / ICI_BW if s > 1 else 0.0
-        eff = compute / (compute + comm) if s > 1 else 1.0
+        gather = (n / s) * d / GATHER_RATE
+        strip = 0.92 * n_c * (n / s) * n / 8 / 80e9
+        eff_g = gather / (gather + comm)
+        eff_m = strip / (strip + comm)
+        strip_gb = n / s * n / 8 / 1e9
         print(
-            f"  shards={s:>2}: compute {compute*1e3:8.1f} ms, "
-            f"all_gather {comm*1e3:6.2f} ms, weak-scaling eff {eff:.3f}"
+            f"  shards={s:>2}: gather {gather*1e3:8.1f} ms (eff {eff_g:.3f})"
+            f" | strip-matmul {strip*1e3:8.1f} ms (eff {eff_m:.3f},"
+            f" {strip_gb:6.1f} GB/chip) | all_gather {comm*1e3:5.2f} ms"
         )
 
 

@@ -87,7 +87,7 @@ def worker(process_id: int, nproc: int, ckpt_dir: str) -> None:
     import jax.numpy as jnp
 
     state = colorer._jit_segment(
-        colorer._sharded_neighbors(), state, jnp.int32(2)
+        colorer._sharded_neighbors(), colorer._adj_strip, state, jnp.int32(2)
     )
     colorer.save_checkpoint(state, ckpt)
     resumed, _ = colorer.run(seed=0, resume_from=ckpt)

@@ -216,7 +216,9 @@ def test_sharded_checkpoint_resume(medium_er, tmp_path):
 
     c1 = ShardedMCMCColorer(medium_er, p, mesh, n_chains=4)
     state = c1.init_state(seed=9)
-    state = c1._jit_segment(c1._sharded_neighbors(), state, jnp.int32(2))
+    state = c1._jit_segment(
+        c1._sharded_neighbors(), c1._adj_strip, state, jnp.int32(2)
+    )
     c1.save_checkpoint(state, ckpt)
 
     c2 = ShardedMCMCColorer(medium_er, p, mesh, n_chains=4)
@@ -236,7 +238,9 @@ def test_sharded_checkpoint_reshards_to_new_mesh(medium_er, tmp_path):
         medium_er, p, make_mesh(chains=2, shards=4), n_chains=4
     )
     state = c1.init_state(seed=9)
-    state = c1._jit_segment(c1._sharded_neighbors(), state, jnp.int32(2))
+    state = c1._jit_segment(
+        c1._sharded_neighbors(), c1._adj_strip, state, jnp.int32(2)
+    )
     c1.save_checkpoint(state, ckpt)
 
     c2 = ShardedMCMCColorer(
@@ -271,3 +275,65 @@ def test_multihost_two_process_dryrun():
         cwd=root,
     )
     assert "MULTIHOST DRYRUN: PASSED" in r.stdout, r.stdout[-2000:]
+
+
+def test_sharded_matmul_backend_bitexact(medium_er):
+    """The adjacency-strip MXU backend (each shard contracts its packed
+    [n_loc, n_pad] strip) runs the SAME chain as the gather backend:
+    identical colors, iterations and conflict traces given one seed."""
+    mesh = make_mesh(chains=2, shards=4)
+    p = _params(medium_er, tailcut=True)
+    r_xla, s_xla = ShardedMCMCColorer(
+        medium_er, p, mesh, n_chains=2, backend="xla"
+    ).run(seed=29)
+    c_mm = ShardedMCMCColorer(
+        medium_er, p, mesh, n_chains=2, backend="matmul"
+    )
+    assert c_mm._adj_strip is not None
+    assert c_mm._adj_strip.shape[0] == c_mm._n_pad
+    r_mm, s_mm = c_mm.run(seed=29)
+    assert check_coloring(medium_er, r_mm.colors)
+    assert np.array_equal(r_xla.colors, r_mm.colors)
+    assert r_xla.iterations == r_mm.iterations
+    assert [s["conflicts"] for s in s_xla] == [s["conflicts"] for s in s_mm]
+
+
+def test_sharded_matmul_strip_contents(small_er):
+    """Per-shard strips decode to exactly the rows of the global packed
+    adjacency (same bit order as the single-device build)."""
+    from mcmc_colorer_tpu.ops.dense_adj import build_packed_adjacency
+    from mcmc_colorer_tpu.parallel.sharded import _build_packed_strips
+
+    mesh = make_mesh(chains=2, shards=4)
+    c = ShardedMCMCColorer(
+        small_er, _params(small_er), mesh, backend="matmul"
+    )
+    strips = np.asarray(jax.device_get(c._adj_strip))
+    ref = np.asarray(build_packed_adjacency(small_er, c._n_pad))
+    assert np.array_equal(strips, ref)
+
+
+def test_sharded_matmul_hastings(small_er):
+    """Hastings over the strip backend: the reverse pass reads NC(star)
+    and the run stays well-formed."""
+    mesh = make_mesh(chains=2, shards=4)
+    p = _params(small_er, hastings=True, max_iterations=20)
+    r_mm, _ = ShardedMCMCColorer(
+        small_er, p, mesh, n_chains=2, backend="matmul"
+    ).run(seed=5)
+    r_x, _ = ShardedMCMCColorer(
+        small_er, p, mesh, n_chains=2, backend="xla"
+    ).run(seed=5)
+    assert np.array_equal(r_mm.colors, r_x.colors)
+    assert r_mm.iterations == r_x.iterations
+
+
+def test_sharded_matmul_active_cap(medium_er):
+    """active_cap composes with the strip backend: full sweeps ride the
+    MXU contraction, frontier sweeps the gathers; the run stays valid."""
+    mesh = make_mesh(chains=2, shards=4)
+    p = _params(medium_er, tailcut=True)
+    r, _ = ShardedMCMCColorer(
+        medium_er, p, mesh, n_chains=2, backend="matmul", active_cap=128
+    ).run(seed=11)
+    assert check_coloring(medium_er, r.colors)
