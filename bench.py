@@ -14,7 +14,10 @@ Prints ONE JSON line:
              comparison, T_MCMCCPU/T_MCMCGPU, doSpeedupGraph.py:62-92),
              measured here on a smaller graph of the same degree regime.
              The reference repo publishes no absolute numbers (BASELINE.md),
-             so the baseline is self-generated.
+             so the baseline is self-generated — and since round 3 it is
+             the COMPILED C++ chain (native/importer.cpp:mc_mcmc_seq),
+             like the reference's own, not the interpreter-bound numpy
+             model that flattered the ratio (VERDICT r2 weak 4).
 
 Run: python bench.py          (uses the default device — the real TPU chip)
 """
@@ -64,7 +67,7 @@ def tpu_sweep_rate(n=100_000, p=0.01, iters=20, seed=0) -> float:
 
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and dense_adj_ok(n_pad, g.mean_degree):
-        backend = "matmul"  # dense int8 A @ onehot on the MXU (round 2)
+        backend = "matmul"  # bit-packed A @ onehot on the MXU (round 3)
     elif on_tpu:
         backend = "pallas"
     else:
@@ -73,15 +76,17 @@ def tpu_sweep_rate(n=100_000, p=0.01, iters=20, seed=0) -> float:
 
     adj = None
     if backend == "matmul":
-        from mcmc_colorer_tpu.ops.dense_adj import build_dense_adjacency
+        from mcmc_colorer_tpu.ops.dense_adj import get_adjacency
 
         t0 = time.perf_counter()
-        adj = build_dense_adjacency(g, n_pad)
+        # packed layout: hardware-validated faster than dense (121 vs
+        # 133 ms/iter at this config) at 8x less HBM (PERF.md round 3)
+        adj = get_adjacency(g, n_pad, "packed", ell)
         np.asarray(adj[:1, :1])
         log(
-            f"dense adjacency built on device in "
+            f"packed adjacency built on device in "
             f"{time.perf_counter()-t0:.1f}s "
-            f"({adj.size / 1e9:.1f} GB, one-time per graph)"
+            f"({adj.size * 4 / 1e9:.2f} GB, one-time per graph)"
         )
 
     @jax.jit
@@ -149,23 +154,39 @@ def tpu_sweep_rate(n=100_000, p=0.01, iters=20, seed=0) -> float:
 
 
 def cpu_seq_rate(n=3000, p=None, seed=0, mean_deg=1000) -> float:
-    """Per-vertex update rate of the sequential CPU-semantics chain on a
-    graph of the same degree regime (mean degree ~n·p of the TPU config)."""
-    from mcmc_colorer_tpu.config import MCMCParams
+    """Per-vertex update rate of the COMPILED sequential chain on a graph
+    of the same degree regime (mean degree ~n·p of the TPU config).  The
+    native C++ chain is the honest stand-in for the reference's compiled
+    ColoringMCMC_CPU; the numpy model (10-50x slower, interpreter-bound)
+    is only the fallback when no toolchain exists."""
+    from mcmc_colorer_tpu.graph import native
     from mcmc_colorer_tpu.graph.generate import erdos_renyi
-    from mcmc_colorer_tpu.models.mcmc_sequential import SequentialMCMCColorer
 
     p = p if p is not None else min(0.5, mean_deg / n)
     g = erdos_renyi(n, p, seed=seed)
+    if native.available():
+        t0 = time.perf_counter()
+        _, iters = native.run_mcmc_seq(
+            g, g.max_degree, max_iterations=3, seed=1
+        )
+        dt = time.perf_counter() - t0
+        sweeps = max(1, iters)
+        log(
+            f"cpu-seq (native C++): {sweeps} sweeps over n={n} in {dt:.2f}s "
+            f"({g.n*sweeps/dt:.0f} updates/s)"
+        )
+        return g.n * sweeps / dt
+    from mcmc_colorer_tpu.config import MCMCParams
+    from mcmc_colorer_tpu.models.mcmc_sequential import SequentialMCMCColorer
+
     params = MCMCParams(n_colors=g.max_degree, max_iterations=3)
-    colorer = SequentialMCMCColorer(g, params)
     t0 = time.perf_counter()
-    r = colorer.run(seed=1)
+    r = SequentialMCMCColorer(g, params).run(seed=1)
     dt = time.perf_counter() - t0
     sweeps = max(1, r.iterations)
     log(
-        f"cpu-seq: {sweeps} sweeps over n={n} in {dt:.2f}s "
-        f"({g.n*sweeps/dt:.0f} updates/s)"
+        f"cpu-seq (numpy fallback — flattering): {sweeps} sweeps over "
+        f"n={n} in {dt:.2f}s ({g.n*sweeps/dt:.0f} updates/s)"
     )
     return g.n * sweeps / dt
 

@@ -412,6 +412,14 @@ def main(argv=None) -> int:
         import os
 
         os.environ["MCMC_COLORER_TRACE"] = "1"
+    import os
+
+    if os.environ.get("MCMC_COLORER_COMPILE_CACHE"):
+        # persistent XLA compile cache (cold-start mitigation for the
+        # remote-compile TPU path; utils/compcache.py)
+        from mcmc_colorer_tpu.utils import compcache
+
+        compcache.enable()
     if not args.quiet:
         print(_LOGO)
         print(_CITATION)

@@ -94,9 +94,16 @@ class MCMCParams:
 
 
 def default_n_colors(max_degree: int, num_color_ratio: float = 1.0) -> int:
-    """nCol default = maxDeg / numColRatio (reference main.cu:162,
-    numColRatio validated into [1, 16], ArgHandle.cpp:148-156)."""
-    return max(1, int(max_degree / num_color_ratio))
+    """nCol default = maxDeg * numColRatio (reference main.cu:162:
+    ``params.nCol = test->getMaxNodeDeg() * numColorRatio`` — the ratio
+    MULTIPLIES the palette; the analysis scripts use the matching
+    k = n·p·ratio, doVarCol3DGraph.py:45).  numColRatio is validated
+    into [1, 16] (ArgHandle.cpp:148-156).
+
+    Erratum: SURVEY §3.1 (and rounds 1-2 of this repo) had this as
+    maxDeg / ratio — fixed round 3; a reference command line with
+    --numColRatio now reproduces the reference's palette."""
+    return max(1, int(max_degree * num_color_ratio))
 
 
 @dataclass

@@ -87,6 +87,23 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int64,
             ctypes.c_uint64,
         ]
+        lib.mc_from_csr.restype = ctypes.c_void_p
+        lib.mc_from_csr.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        lib.mc_mcmc_seq.restype = ctypes.c_int64
+        lib.mc_mcmc_seq.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_double,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.c_uint64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
         _lib = lib
         return _lib
 
@@ -190,3 +207,38 @@ def generate_dataset(
     if m < 0:
         raise IOError(f"cannot write {path}")
     return int(m)
+
+
+def run_mcmc_seq(
+    graph: Graph,
+    n_colors: int,
+    epsilon: float = 1e-8,
+    taboo_iterations: int = 0,
+    max_iterations: int = 250,
+    z: int = 0,
+    seed: int = 0,
+):
+    """Compiled sequential MCMC chain (native/importer.cpp:mc_mcmc_seq) —
+    the reference-CPU-speed baseline for bench.py.  Returns
+    (colors[int32 n], iterations)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    rp = np.ascontiguousarray(graph.row_ptr, dtype=np.int64)
+    cols = np.ascontiguousarray(graph.cols, dtype=np.int32)
+    h = lib.mc_from_csr(graph.n, rp, cols)
+    try:
+        out = np.empty(graph.n, dtype=np.int32)
+        iters = lib.mc_mcmc_seq(
+            h,
+            np.int32(n_colors),
+            float(epsilon),
+            np.int32(taboo_iterations),
+            np.int32(max_iterations),
+            np.int64(z),
+            np.uint64(seed),
+            out,
+        )
+    finally:
+        lib.mc_free(h)
+    return out, int(iters)

@@ -35,7 +35,7 @@ class GreedyFFColorer:
         backend: str = "auto",
         active: bool = False,
         min_bucket: int = 128,
-        bucket_factor: int = 4,
+        bucket_factor: int | None = None,
         ell: EllGraph | None = None,
         layout: str = "flat",
     ) -> None:
@@ -99,6 +99,10 @@ class GreedyFFColorer:
         )
         self._jit_rounds: dict[int, object] = {}
         self._min_bucket = min_bucket
+        if bucket_factor is None:
+            # coarse ladder on the remote-compile TPU path (one kernel per
+            # rung; see models/mcmc_active.py), finer elsewhere
+            bucket_factor = 16 if self.backend == "pallas" else 4
         self._bucket_factor = bucket_factor
 
     def _round_fn(self, cap: int):

@@ -83,12 +83,17 @@ class ActiveMCMCColorer:
         params: MCMCParams,
         backend: str = "auto",
         min_bucket: int = 128,
-        bucket_factor: int = 4,
+        bucket_factor: int | None = None,
         layout: str = "flat",
     ) -> None:
         """``min_bucket``/``bucket_factor`` control the active-capacity
-        ladder; each bucket compiles its own kernel (expensive on the
-        remote-compile TPU path — use a coarse ladder there).
+        ladder; each bucket compiles its own kernel, so on the
+        remote-compile TPU path (4-6 min per Pallas program) the default
+        ladder is COARSE (factor 16 → at most ~3 rungs at n=1M: cold
+        start bounded at a few compiles) while CPU/GPU keep the finer
+        factor-4 ladder (compiles are cheap there, tighter caps gather
+        less).  Pass ``bucket_factor`` to override either way; see also
+        utils/compcache.enable() for cross-process compile reuse.
 
         ``layout='bucketed'``: degree-bucketed rectangles (see
         models/mcmc.py MCMCColorer) — full-mode sweeps gather
@@ -152,6 +157,8 @@ class ActiveMCMCColorer:
         self._jit_active = {}
         self._jit_tailcut = {}
         self._min_bucket = min_bucket
+        if bucket_factor is None:
+            bucket_factor = 16 if backend == "pallas" else 4
         self._bucket_factor = bucket_factor
 
     def _active_fn(self, cap: int):

@@ -48,7 +48,7 @@ class VFFColorer:
         backend: str = "auto",
         active: bool = False,
         min_bucket: int = 128,
-        bucket_factor: int = 4,
+        bucket_factor: int | None = None,
         layout: str = "flat",
     ) -> None:
         """``active=True`` runs the frontier variant: phase 1 is the active
@@ -117,6 +117,10 @@ class VFFColorer:
         )
         self._jit_rounds: dict[int, object] = {}
         self._min_bucket = min_bucket
+        if bucket_factor is None:
+            # coarse ladder on the remote-compile TPU path (one kernel per
+            # rung; see models/mcmc_active.py), finer elsewhere
+            bucket_factor = 16 if self.backend == "pallas" else 4
         self._bucket_factor = bucket_factor
         self._gff = None  # phase-1 colorer, built once (keeps jit caches)
 

@@ -91,7 +91,8 @@ def main():
                 flush=True,
             )
             for ratio in (1.0, 2.0, 4.0):
-                n_col = max(4, int(g3.max_degree / ratio))
+                # reference semantics: nCol = maxDeg * ratio (main.cu:162)
+                n_col = max(4, int(g3.max_degree * ratio))
                 p3 = MCMCParams(
                     n_colors=n_col,
                     proposal=ProposalKind.BALANCE_DYNAMIC,

@@ -1,0 +1,162 @@
+"""Statistical validation over the reference's experimental matrix.
+
+The reference's analysis scripts imply a (density p) x (numColRatio) grid
+(`doVarCol3DGraph.py:40-50` sweeps ratio 1-16 at p in {0.001, 0.005};
+`doBalIdxgraph.py:110-115` compares algorithms at the same densities).
+This script runs that grid — sequential reference-semantics chain vs the
+device chain on the STANDARD proposal (comparability), plus the device
+chain on the shipped BALANCE_DYNAMIC proposal (the 3D-surface config) —
+across seeds, and records used colors, balance index, convergence rate
+and iterations per cell.
+
+Output: docs/validate_matrix.json + docs/validate_matrix_3d.png (balance
+index surface over the grid, the doVarCol3DGraph analogue, drawn with
+analysis.log_parser.plot_var_col_3d-compatible data).
+
+Usage: python scripts/validate_matrix.py [--n 4000] [--seeds 3]
+Runs on whatever the default JAX backend is (CPU fine).
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from mcmc_colorer_tpu.config import MCMCParams, ProposalKind
+from mcmc_colorer_tpu.graph.generate import erdos_renyi
+from mcmc_colorer_tpu.models.base import check_coloring
+from mcmc_colorer_tpu.models.mcmc import MCMCColorer
+from mcmc_colorer_tpu.models.mcmc_sequential import SequentialMCMCColorer
+
+DENSITIES = (0.001, 0.005)
+RATIOS = (1.0, 2.0, 4.0, 8.0, 16.0)
+
+
+def cell(factory, g, p_edge, seeds):
+    rows = []
+    for s in range(seeds):
+        r = factory().run(seed=500 + s)
+        rows.append(
+            {
+                "used_colors": r.used_colors,
+                "iterations": r.iterations,
+                "balance_index": r.balance_index(p_edge),
+                "converged": float(r.converged),
+                "valid": float(check_coloring(g, r.colors)),
+            }
+        )
+    out = {
+        k: float(np.mean([r[k] for r in rows])) for k in rows[0]
+    }
+    out["balance_index_std"] = float(
+        np.std([r["balance_index"] for r in rows])
+    )
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4000)
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--out", default="docs/validate_matrix.json")
+    ap.add_argument("--plot", default="docs/validate_matrix_3d.png")
+    args = ap.parse_args()
+
+    matrix = {"n": args.n, "seeds": args.seeds, "cells": []}
+    for p_edge in DENSITIES:
+        g = erdos_renyi(args.n, p_edge, seed=777)
+        for ratio in RATIOS:
+            # the reference MULTIPLIES: nCol = maxDeg * ratio (main.cu:162)
+            n_col = max(2, int(g.max_degree * ratio))
+            params_std = MCMCParams(
+                n_colors=n_col, proposal=ProposalKind.STANDARD, tailcut=True
+            )
+            params_dyn = MCMCParams(
+                n_colors=n_col,
+                proposal=ProposalKind.BALANCE_DYNAMIC,
+                tailcut=True,
+            )
+            c = {
+                "p": p_edge,
+                "ratio": ratio,
+                "n_colors": n_col,
+                "max_degree": g.max_degree,
+                "sequential_standard": cell(
+                    lambda: SequentialMCMCColorer(g, params_std),
+                    g, p_edge, args.seeds,
+                ),
+                "device_standard": cell(
+                    lambda: MCMCColorer(g, params_std),
+                    g, p_edge, args.seeds,
+                ),
+                "device_balance_dynamic": cell(
+                    lambda: MCMCColorer(g, params_dyn),
+                    g, p_edge, args.seeds,
+                ),
+            }
+            # per-cell equivalence verdicts (sequential vs device on the
+            # SAME proposal): used colors within 15%, BI within 2 sigma
+            s, d = c["sequential_standard"], c["device_standard"]
+            c["checks"] = {
+                "all_valid": s["valid"] == 1.0 and d["valid"] == 1.0
+                and c["device_balance_dynamic"]["valid"] == 1.0,
+                "same_convergence": s["converged"] == d["converged"],
+                "used_colors_within_15pct": abs(
+                    s["used_colors"] - d["used_colors"]
+                )
+                <= 0.15 * max(s["used_colors"], d["used_colors"]),
+                "balance_index_within_2std": abs(
+                    s["balance_index"] - d["balance_index"]
+                )
+                <= 2
+                * (s["balance_index_std"] + d["balance_index_std"])
+                + 0.5,
+            }
+            matrix["cells"].append(c)
+            print(
+                f"p={p_edge} ratio={ratio}: nCol={n_col} "
+                f"seqBI={s['balance_index']:.2f} devBI={d['balance_index']:.2f} "
+                f"dynBI={c['device_balance_dynamic']['balance_index']:.2f} "
+                f"conv(seq/dev)={s['converged']:.1f}/{d['converged']:.1f} "
+                f"checks={all(c['checks'].values())}",
+                flush=True,
+            )
+
+    ok = all(all(c["checks"].values()) for c in matrix["cells"])
+    matrix["all_checks_pass"] = ok
+    with open(args.out, "w") as f:
+        json.dump(matrix, f, indent=1)
+    print("matrix →", args.out, "all_checks_pass:", ok)
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(figsize=(8, 6))
+        ax = fig.add_subplot(projection="3d")
+        for p_edge, color in zip(DENSITIES, ("tab:blue", "tab:orange")):
+            cells = [c for c in matrix["cells"] if c["p"] == p_edge]
+            xs = [c["ratio"] for c in cells]
+            zs = [c["device_balance_dynamic"]["balance_index"] for c in cells]
+            ax.plot(xs, [p_edge] * len(xs), zs, marker="o", color=color,
+                    label=f"p={p_edge}")
+        ax.set_xlabel("numColRatio")
+        ax.set_ylabel("density p")
+        ax.set_zlabel("balance index")
+        ax.set_title(f"Balance index surface, ER(n={args.n}) "
+                     "(device chain, balance-dynamic)")
+        ax.legend()
+        fig.savefig(args.plot, dpi=120, bbox_inches="tight")
+        print("plot →", args.plot)
+    except Exception as e:  # noqa: BLE001 (headless plot best-effort)
+        print("plot skipped:", e)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -244,3 +244,33 @@ def test_native_ba_matches_numpy_semantics():
     # degree-proportional attachment -> heavy tail in both
     assert gn.max_degree > 4 * gn.mean_degree
     assert gf.max_degree > 4 * gf.mean_degree
+
+
+def test_native_mcmc_seq_chain():
+    """The compiled sequential chain (bench.py's honest baseline) colors
+    validly and matches the numpy model statistically."""
+    from mcmc_colorer_tpu.config import MCMCParams
+    from mcmc_colorer_tpu.graph import native
+    from mcmc_colorer_tpu.graph.generate import erdos_renyi
+    from mcmc_colorer_tpu.models.base import check_coloring
+    from mcmc_colorer_tpu.models.mcmc_sequential import SequentialMCMCColorer
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    g = erdos_renyi(400, 0.1, seed=5)
+    colors, iters = native.run_mcmc_seq(
+        g, g.max_degree, max_iterations=250, taboo_iterations=2, seed=3
+    )
+    assert colors.shape == (g.n,)
+    assert 0 < iters <= 250
+    assert check_coloring(g, colors)
+    r_py = SequentialMCMCColorer(
+        g, MCMCParams(n_colors=g.max_degree, taboo_iterations=2)
+    ).run(seed=3)
+    import numpy as np
+
+    used_c = len(np.unique(colors))
+    used_py = len(np.unique(r_py.colors))
+    assert abs(used_c - used_py) <= 0.2 * max(used_c, used_py)

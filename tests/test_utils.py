@@ -95,3 +95,14 @@ def test_analysis_plots(tmp_path):
         assert ok in (True, False)
         if ok:
             assert (tmp_path / f"{name}.png").exists()
+
+
+def test_compcache_enable(tmp_path, monkeypatch):
+    from mcmc_colorer_tpu.utils import compcache
+
+    d = str(tmp_path / "xla_cache")
+    got = compcache.enable(d)
+    assert got == d
+    import os
+
+    assert os.path.isdir(d)
