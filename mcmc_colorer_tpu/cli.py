@@ -232,12 +232,13 @@ _ALGO_TAG = {
 
 
 def _device_backend(args) -> str:
-    """Backend for the non-MCMC device colorers: the matmul/packed MXU
-    backends are MCMC-specific (they feed the NC contraction)."""
+    """Backend for colorers without an MXU sweep (Luby/GFF/VFF, the
+    frontier and stepped MCMC drivers): the matmul/packed backends feed
+    the full-sweep NC contraction only."""
     if args.backend in ("matmul", "packed"):
         print(
-            f"--backend {args.backend} applies to the MCMC colorer only; "
-            "using 'auto' here.",
+            f"--backend {args.backend} applies to full-sweep MCMC "
+            "colorers only; using 'auto' here.",
             file=sys.stderr,
         )
         return "auto"
@@ -252,6 +253,23 @@ def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
 
         return SequentialMCMCColorer(g, params)
     if kind == ColorerKind.MCMC:
+        if args.active and params.hastings:
+            # the frontier sweep never materialises the passive set's
+            # proposal probability, so the exact Hastings ratio is
+            # undefined there (models/mcmc_active.py design note) —
+            # surface a CLI error instead of a raw traceback
+            print(
+                "--active is incompatible with --hastings: frontier "
+                "sweeps run the shipped always-accept dynamics (use "
+                "full sweeps for acceptance).",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        # sharded paths take the matmul strip backend; 'packed' is the
+        # single-chip spelling of the same layout
+        sharded_backend = (
+            "matmul" if args.backend == "packed" else args.backend
+        )
         # frontier (active-set) capacity for the sharded ensemble: per
         # chain, resample only up to ~n/8 frontier vertices once the
         # conflict set fits (rounded up to 128 inside the colorer)
@@ -274,6 +292,7 @@ def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
                 n_chains=max(args.chains, mesh.shape["chains"]),
                 anneal=AnnealConfig(enabled=args.anneal),
                 active_cap=active_cap,
+                backend=sharded_backend,
             )
             return _BestOfWrapper(inner)
         if args.chains > 1:
@@ -300,12 +319,19 @@ def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
                         n_chains=args.chains,
                         anneal=AnnealConfig(enabled=args.anneal),
                         active_cap=active_cap,
+                        backend=sharded_backend,
                     )
                 )
             from mcmc_colorer_tpu.parallel.chains import EnsembleMCMCColorer
 
             return _BestOfWrapper(
-                EnsembleMCMCColorer(g, params, n_chains=args.chains)
+                EnsembleMCMCColorer(
+                    g,
+                    params,
+                    n_chains=args.chains,
+                    backend=sharded_backend,
+                    layout=args.layout,
+                )
             )
         if args.dbg:
             # the debugger needs the host-visible segment loop: route the

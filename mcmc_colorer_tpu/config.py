@@ -94,16 +94,14 @@ class MCMCParams:
 
 
 def default_n_colors(max_degree: int, num_color_ratio: float = 1.0) -> int:
-    """nCol default = maxDeg * numColRatio (reference main.cu:162:
-    ``params.nCol = test->getMaxNodeDeg() * numColorRatio`` — the ratio
-    MULTIPLIES the palette; the analysis scripts use the matching
-    k = n·p·ratio, doVarCol3DGraph.py:45).  numColRatio is validated
-    into [1, 16] (ArgHandle.cpp:148-156).
-
-    Erratum: SURVEY §3.1 (and rounds 1-2 of this repo) had this as
-    maxDeg / ratio — fixed round 3; a reference command line with
-    --numColRatio now reproduces the reference's palette."""
-    return max(1, int(max_degree * num_color_ratio))
+    """nCol default = maxDeg / numColRatio.  The reference inverts the
+    CLI flag first (``numColorRatio = 1.0f / commandLine.numColRatio``,
+    main.cu:53) and then multiplies (``params.nCol = maxNodeDeg *
+    numColorRatio``, main.cu:162) — net effect: the flag DIVIDES the
+    palette.  numColRatio is validated into [1, 16]
+    (ArgHandle.cpp:148-156).  (A round-3 commit briefly flipped this to
+    multiply after reading :162 without :53; reverted same round.)"""
+    return max(1, int(max_degree / num_color_ratio))
 
 
 @dataclass

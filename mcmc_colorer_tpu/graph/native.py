@@ -32,11 +32,12 @@ def _load() -> ctypes.CDLL | None:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_SO_PATH):
-            src = os.path.join(_NATIVE_DIR, "importer.cpp")
-            if not os.path.exists(src):
-                _build_failed = True
-                return None
+        src = os.path.join(_NATIVE_DIR, "importer.cpp")
+        # run make even when the .so exists: the build is mtime-
+        # incremental, so a stale library (older than importer.cpp —
+        # e.g. missing round-3's mc_mcmc_seq symbols) is rebuilt instead
+        # of raising AttributeError at symbol binding below
+        if os.path.exists(src):
             try:
                 subprocess.run(
                     ["make", "-s", "-C", _NATIVE_DIR],
@@ -45,11 +46,17 @@ def _load() -> ctypes.CDLL | None:
                     timeout=120,
                 )
             except Exception:
-                _build_failed = True
-                return None
+                if not os.path.exists(_SO_PATH):
+                    _build_failed = True
+                    return None
+        elif not os.path.exists(_SO_PATH):
+            _build_failed = True
+            return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
-        except OSError:
+            lib.mc_mcmc_seq  # noqa: B018 — probe the newest symbol so a
+            # stale library degrades to the Python fallbacks
+        except (OSError, AttributeError):
             _build_failed = True
             return None
         lib.mc_import.restype = ctypes.c_void_p

@@ -117,13 +117,10 @@ class SequentialMCMCColorer:
             q = np.empty(n, dtype=np.float64)
             zvcomp_min, zvcomp_max, zvcomp_sum = n_col + 1, 0, 0
             for i in range(n):
-                if taboo[i] > 0:
-                    # forced keep records the keep probability
-                    # (extract_new_color taboo path, _CPU.cpp:495-501)
-                    taboo[i] -= 1
-                    new_colors[i] = colors[i]
-                    q[i] = 1.0 - (n_col - 1) * eps
-                    continue
+                # the reference scans free colors and fills p for EVERY
+                # node (the taboo check lives inside extract_new_color,
+                # _CPU.cpp:183-204,495-501), so the Zvcomp stats include
+                # taboo-frozen nodes
                 neigh = g.neighbors_of(i)
                 occupied = np.zeros(n_col, dtype=bool)
                 occupied[colors[neigh]] = True
@@ -132,6 +129,13 @@ class SequentialMCMCColorer:
                 zvcomp_min = min(zvcomp_min, zvcomp)
                 zvcomp_max = max(zvcomp_max, zvcomp)
                 zvcomp_sum += zvcomp
+                if taboo[i] > 0:
+                    # forced keep records the keep probability
+                    # (extract_new_color taboo path, _CPU.cpp:495-501)
+                    taboo[i] -= 1
+                    new_colors[i] = colors[i]
+                    q[i] = 1.0 - (n_col - 1) * eps
+                    continue
                 cur = colors[i]
                 prob = np.empty(n_col, dtype=np.float64)
                 if viols[i]:

@@ -52,6 +52,44 @@ def dense_adj_bytes(n_pad: int) -> int:
     return n_pad * n_pad
 
 
+def adjacency_nnz(adj) -> int:
+    """Number of set entries of a dense int8 or packed uint32 adjacency
+    (one device pass)."""
+    import jax
+    import jax.numpy as jnp
+
+    def count(a):
+        if a.dtype == jnp.uint32:
+            c = jnp.zeros((), jnp.int64)
+            for s in range(32):
+                c = c + jnp.sum(
+                    ((a >> jnp.uint32(s)) & jnp.uint32(1)).astype(jnp.int32),
+                    dtype=jnp.int64,
+                )
+            return c
+        return jnp.sum(a.astype(jnp.int32), dtype=jnp.int64)
+
+    return int(jax.jit(count)(adj))
+
+
+def check_adjacency_complete(adj, graph) -> None:
+    """The matmul formulation stores A as a 0/1 SET: duplicate input
+    edges (which graph/io.py deliberately keeps, like the reference
+    importer) collapse to one bit, so its conflict counts would diverge
+    from the gather backends' (which count every ELL slot).  Verify the
+    built matrix holds exactly 2m entries and refuse otherwise — the
+    reference's own README warns duplicate edges break convergence;
+    dedupe (io.strip_self_arcs / np.unique) or use backend='pallas'."""
+    nnz = adjacency_nnz(adj)
+    if nnz != 2 * graph.n_edges:
+        raise ValueError(
+            f"graph has duplicate edges ({2 * graph.n_edges - nnz} extra "
+            "ELL slots): the matmul backends' 0/1 adjacency cannot "
+            "represent multigraphs — dedupe the edge list or use "
+            "backend='pallas'/'xla'"
+        )
+
+
 def get_adjacency(graph, n_pad: int, kind: str, ell=None):
     """Cached dense/packed adjacency, one build per (graph, n_pad, kind).
 
@@ -70,14 +108,16 @@ def get_adjacency(graph, n_pad: int, kind: str, ell=None):
                 if kind == "dense"
                 else build_packed_adjacency_from_ell
             )
-            cache[key] = build(ell)
+            a = build(ell)
         else:
             build = (
                 build_dense_adjacency
                 if kind == "dense"
                 else build_packed_adjacency
             )
-            cache[key] = build(graph, n_pad)
+            a = build(graph, n_pad)
+        check_adjacency_complete(a, graph)
+        cache[key] = a
     return cache[key]
 
 
@@ -135,45 +175,56 @@ def build_dense_adjacency_from_ell(ell):
     return a
 
 
-def build_packed_adjacency_from_ell(ell):
-    """[n_pad, words] uint32 bit-packed adjacency built on-device from
-    the ELL rectangle: per row chunk, scatter a dense int8 strip (as in
-    ``build_dense_adjacency_from_ell`` — set is duplicate-safe, unlike
-    the host path's scatter-add) and fold it into uint32 words in the
-    ``packed_bit_coords`` order with a shift-and-sum over the bit axis."""
-    n_pad, d_pad = ell.neighbors.shape
+def pack_ell_rows(neigh, n_pad: int):
+    """Pack an ELL row band [rows, d_pad] into its bit-packed adjacency
+    rows [rows, words] uint32 in the ``packed_bit_coords`` order: scatter
+    a dense int8 strip (set is duplicate-safe) and fold it to uint32
+    words with a shift-and-sum over the bit axis.  The bit order
+    (word = jl%128, bit = jl//128) makes the [n_k, 32, 128] reshape of a
+    plain column-ordered strip land each column on its (word, bit) slot
+    directly: the strip position of column v is v itself.
+
+    Shared by the single-device chunked builder and the sharded
+    band-wise strip builder (parallel/sharded.py) — the Mosaic bit order
+    is encoded exactly once."""
+    rows_n, d_pad = neigh.shape
     words = packed_adj_words(n_pad)
     k_total = words * 32
     n_k = words // 128
+    oob = jnp.int32(min(rows_n * k_total, 2**31 - 1))
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rows_n, d_pad), 0)
+    flat = (rows * jnp.int32(k_total) + neigh).reshape(-1)
+    flat = jnp.where(neigh.reshape(-1) < jnp.int32(n_pad), flat, oob)
+    z = jnp.zeros((rows_n * k_total,), jnp.int8)
+    z = z.at[flat].set(jnp.int8(1), mode="drop")
+    zw = z.reshape(rows_n, n_k, 32, 128).astype(jnp.uint32)
+    return jnp.sum(zw << shifts, axis=2, dtype=jnp.uint32).reshape(
+        rows_n, words
+    )
+
+
+def build_packed_adjacency_from_ell(ell):
+    """[n_pad, words] uint32 bit-packed adjacency built on-device from
+    the ELL rectangle, row chunk by row chunk (``pack_ell_rows``)."""
+    n_pad, d_pad = ell.neighbors.shape
+    words = packed_adj_words(n_pad)
+    k_total = words * 32
     # scratch per row: dense int8 strip (k_total) + its uint32 widening
     n_chunks = _row_chunking(n_pad, k_total, k_total * 5, 1536 * 1024**2)
     chunk = n_pad // n_chunks
-    oob = jnp.int32(min(chunk * k_total, 2**31 - 1))
-    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnames=("chunk",))
-    def insert_rows(a, neigh, r0, *, chunk):
-        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, d_pad), 0)
-        # packed_bit_coords order (word = jl%128, bit = jl//128) makes
-        # the [n_k, 32, 128] reshape of a plain column-ordered strip land
-        # each column on its (word, bit) slot directly: the strip
-        # position of column v is v itself
-        flat = (rows * jnp.int32(k_total) + neigh).reshape(-1)
-        flat = jnp.where(neigh.reshape(-1) < jnp.int32(n_pad), flat, oob)
-        z = jnp.zeros((chunk * k_total,), jnp.int8)
-        z = z.at[flat].set(jnp.int8(1), mode="drop")
-        zw = z.reshape(chunk, n_k, 32, 128).astype(jnp.uint32)
-        packed = jnp.sum(zw << shifts, axis=2, dtype=jnp.uint32)
-        return jax.lax.dynamic_update_slice(
-            a, packed.reshape(chunk, words), (r0, 0)
-        )
+    @partial(jax.jit, donate_argnums=(0,))
+    def insert_rows(a, neigh, r0):
+        packed = pack_ell_rows(neigh, n_pad)
+        return jax.lax.dynamic_update_slice(a, packed, (r0, 0))
 
     a = jnp.zeros((n_pad, words), jnp.uint32)
     for c in range(n_chunks):
         neigh = jax.lax.dynamic_slice(
             ell.neighbors, (c * chunk, 0), (chunk, d_pad)
         )
-        a = insert_rows(a, neigh, jnp.int32(c * chunk), chunk=chunk)
+        a = insert_rows(a, neigh, jnp.int32(c * chunk))
     return a
 
 
@@ -309,27 +360,12 @@ def build_packed_adjacency(graph, n_pad: int):
     order = np.argsort(flat, kind="stable")
     flat, vals = flat[order], vals[order]
 
-    def ok(c):
-        return (
-            n_pad % c == 0
-            and (n_pad // c) % 8 == 0
-            and (n_pad // c) * words < 2**31
-        )
-
     # chunk count floor: bound the per-chunk uint32 scratch buffer z
     # ((n_pad/c) * words * 4 bytes) to ~1.5 GB so the transient peak
     # (matrix + scratch) stays under the 16 GB chip even at
     # PACKED_ADJ_MAX_N (matrix 10.3 GB) — mirroring
     # build_dense_adjacency's start at n_chunks=8 (advisor, round 2)
-    scratch_cap = 1536 * 1024**2
-    c_min = max(1, -(-n_pad * words * 4 // scratch_cap))
-    cands = [c for c in range(c_min, 4097) if ok(c)]
-    if not cands:
-        raise ValueError(
-            f"no feasible row chunking for n_pad={n_pad}; pad the node "
-            "axis to a multiple of 8"
-        )
-    n_chunks = cands[0]
+    n_chunks = _row_chunking(n_pad, words, words * 4, 1536 * 1024**2)
     chunk = n_pad // n_chunks
     oob = np.int32(min(chunk * words, 2**31 - 1))  # mode="drop" discards
     chunk_idx, chunk_val, max_len = [], [], 0

@@ -41,9 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mcmc_colorer_tpu.ops.dense_adj import PACKED_K_CHUNK
 
-# rows per output block; 256 keeps (bits 1MB + onehot 4MB + acc 1MB)
-# far under the 16 MB VMEM budget with double-buffered inputs
-BIT_MM_BLOCK_ROWS = 256
+# rows per output block.  Hardware-probed at n_pad=100352, nCol=1152
+# (scripts/probe_bitmm.py): 128 -> 187.9 ms/NC, 256 -> 115.6, 512 ->
+# 81.3 (Mosaic fuses the unpack chain, so the [rows, 4096] temporaries
+# never fully materialize); 1024 fails to compile (VMEM).  512 is ~75%
+# of the pure-MXU floor (~61 ms of int8 MACs at this shape).
+BIT_MM_BLOCK_ROWS = 512
 # color-window width per grid step (onehot slab [4096, BC] int8 = 4 MB)
 BIT_MM_BLOCK_COLS = 1024
 

@@ -105,20 +105,32 @@ class EnsembleMCMCColorer:
         )
         if backend == "matmul":
             from mcmc_colorer_tpu.ops.dense_adj import (
-                build_dense_adjacency,
-                dense_adj_bytes,
+                DENSE_ADJ_MAX_N,
+                PACKED_NC_IMPL,
+                get_adjacency,
+                packed_adj_bytes,
             )
 
             if layout != "flat":
                 raise ValueError("backend='matmul' is flat-layout only")
-            if dense_adj_bytes(self.ell.n_pad) > 12 * 1024**3:
+            # same kind selection as MCMCColorer: packed layout where
+            # the Mosaic bit-matmul is available, dense below its cap
+            # otherwise (advisor r2 HBM-headroom finding)
+            prefer_packed = PACKED_NC_IMPL == "pallas" and (
+                jax.default_backend() not in ("cpu", "gpu")
+            )
+            if not prefer_packed and self.ell.n_pad <= DENSE_ADJ_MAX_N:
+                kind = "dense"
+            elif packed_adj_bytes(self.ell.n_pad) <= 12 * 1024**3:
+                kind = "packed"
+            else:
                 raise ValueError(
-                    "dense adjacency exceeds HBM at "
+                    "even the bit-packed adjacency exceeds HBM at "
                     f"n_pad={self.ell.n_pad}; use backend='pallas'"
                 )
-            # ONE dense A serves every chain (the per-chain sweep matmuls
-            # batch over it)
-            self._adj = build_dense_adjacency(graph, self.ell.n_pad)
+            # ONE A serves every chain (the per-chain sweep matmuls
+            # batch over it); cached per (graph, n_pad, kind)
+            self._adj = get_adjacency(graph, self.ell.n_pad, kind, self.ell)
             self._fused_carry = True
             seg = jax.vmap(
                 partial(

@@ -185,6 +185,13 @@ class ShardedMCMCColorer:
             self._adj_strip = _build_packed_strips(
                 self._sharded_neighbors(), mesh
             )
+            from mcmc_colorer_tpu.ops.dense_adj import (
+                check_adjacency_complete,
+            )
+
+            # duplicate input edges collapse to one bit and would break
+            # the gather/matmul chain equivalence (review r3)
+            check_adjacency_complete(self._adj_strip, graph)
         if active_cap is not None:
             active_cap = min(
                 n_loc_final, ((max(active_cap, 1) + 127) // 128) * 128
@@ -236,10 +243,15 @@ class ShardedMCMCColorer:
         )
 
     def _sharded_neighbors(self):
-        return _put_global(
-            np.asarray(self.ell.neighbors),
-            NamedSharding(self.mesh, P("shards", None)),
-        )
+        # cached: the ELL rectangle is n_pad·d_pad·4 bytes (GBs at the
+        # scales the sharded path exists for) — ship it once, not once
+        # per run (review r3)
+        if getattr(self, "_neigh_sharded", None) is None:
+            self._neigh_sharded = _put_global(
+                np.asarray(self.ell.neighbors),
+                NamedSharding(self.mesh, P("shards", None)),
+            )
+        return self._neigh_sharded
 
     def init_state(self, seed: int, repetition: int = 0):
         """Fresh ensemble state (the 10-tuple of `_sharded_init`)."""
@@ -465,14 +477,16 @@ def _build_packed_strips(neighbors, mesh: Mesh, target_slots=40_000_000):
     crosses the ~60 s wall (utils/segmented.py).  Nothing ships from the
     host and nothing crosses the mesh — each shard scatters only its own
     rows."""
-    from mcmc_colorer_tpu.ops.dense_adj import packed_adj_words
+    from mcmc_colorer_tpu.ops.dense_adj import (
+        pack_ell_rows,
+        packed_adj_words,
+    )
 
     n_pad, d_pad = neighbors.shape
     ms = mesh.shape["shards"]
     n_loc = n_pad // ms
     words = packed_adj_words(n_pad)
     k_total = words * 32
-    n_k = words // 128
     # band height: multiple of 8 dividing n_loc (128 | n_loc by
     # construction), scratch z <= ~1.5 GB, flat int32 indices in range,
     # and <= target_slots scattered slots per execution (~wall/3)
@@ -490,21 +504,11 @@ def _build_packed_strips(neighbors, mesh: Mesh, target_slots=40_000_000):
         if n_loc % d == 0 and d <= cap_rows:
             bh = d
         d *= 2
-    oob = jnp.int32(min(bh * k_total, 2**31 - 1))
-    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
 
     def band_body(a_loc, neigh_loc, r0):
         nb = jax.lax.dynamic_slice(neigh_loc, (r0, 0), (bh, d_pad))
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bh, d_pad), 0)
-        flat = (rows * jnp.int32(k_total) + nb).reshape(-1)
-        flat = jnp.where(nb.reshape(-1) < jnp.int32(n_pad), flat, oob)
-        z = jnp.zeros((bh * k_total,), jnp.int8)
-        z = z.at[flat].set(jnp.int8(1), mode="drop")
-        zw = z.reshape(bh, n_k, 32, 128).astype(jnp.uint32)
-        packed = jnp.sum(zw << shifts, axis=2, dtype=jnp.uint32)
-        return jax.lax.dynamic_update_slice(
-            a_loc, packed.reshape(bh, words), (r0, 0)
-        )
+        packed = pack_ell_rows(nb, n_pad)
+        return jax.lax.dynamic_update_slice(a_loc, packed, (r0, 0))
 
     band = jax.jit(
         jax.shard_map(

@@ -64,17 +64,20 @@ def main():
 
     n2 = 100_000 if not small else 2000
     g2 = erdos_renyi(n2, 0.01 if not small else 0.02, seed=2)
+    # one all-in run (the full Luby loop is ~18 min at this scale on the
+    # chip — gather-bound over ~174 colors x rounds; a separate warm-up
+    # pass would double it for a compile worth seconds)
     colorer2 = LubyColorer(g2)
-    _ = colorer2.run(seed=0)  # compile
     r2, t2 = timed(lambda: colorer2.run(seed=21))
     report["config2_luby"] = {
         "n": g2.n,
         "m": g2.n_edges,
         "valid": check_coloring(g2, r2.colors),
         "colors": r2.n_colors,
-        "seconds": t2,
+        "seconds_incl_compile": t2,
     }
     print("config2:", report["config2_luby"], flush=True)
+    del colorer2, r2  # free the device ELL before the 1M config
 
     # ---- config 3: MCMC numColRatio sweep on large ER -------------------
     from mcmc_colorer_tpu.models.mcmc import MCMCColorer
@@ -91,8 +94,9 @@ def main():
                 flush=True,
             )
             for ratio in (1.0, 2.0, 4.0):
-                # reference semantics: nCol = maxDeg * ratio (main.cu:162)
-                n_col = max(4, int(g3.max_degree * ratio))
+                # reference semantics: the flag divides the palette
+                # (main.cu:53 inverts, :162 multiplies by the inverse)
+                n_col = max(4, int(g3.max_degree / ratio))
                 p3 = MCMCParams(
                     n_colors=n_col,
                     proposal=ProposalKind.BALANCE_DYNAMIC,
@@ -110,12 +114,22 @@ def main():
                 print(f"config3 ratio={ratio}:", sweep[str(ratio)], flush=True)
             break
         except Exception as e:  # HBM OOM → halve
-            print(f"config3 failed at n={n3}: {type(e).__name__}; halving",
-                  flush=True)
+            import gc
+            import traceback
+
+            print(
+                f"config3 failed at n={n3}: {type(e).__name__}: "
+                f"{str(e)[:500]}",
+                flush=True,
+            )
+            traceback.print_exc()
             if n3 <= 50_000:
                 raise
             n3 //= 2
             p_edge3 *= 2
+            # drop the failed attempt's device arrays before retrying
+            del e
+            gc.collect()
     report["config3_ratio_sweep"] = {"n": n3, "p": p_edge3, "sweep": sweep}
 
     # ---- config 4: real-world-like pipeline -----------------------------

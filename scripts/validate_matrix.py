@@ -69,8 +69,13 @@ def main():
     for p_edge in DENSITIES:
         g = erdos_renyi(args.n, p_edge, seed=777)
         for ratio in RATIOS:
-            # the reference MULTIPLIES: nCol = maxDeg * ratio (main.cu:162)
-            n_col = max(2, int(g.max_degree * ratio))
+            # reference semantics: the flag divides the palette
+            # (main.cu:53 inverts it, :162 multiplies maxDeg by the
+            # inverse); at high ratio / low density the palette shrinks
+            # to a handful of colors and runs legitimately fail to
+            # converge — the very counts the reference's checkNoConv*
+            # scripts tabulate
+            n_col = max(2, int(g.max_degree / ratio))
             params_std = MCMCParams(
                 n_colors=n_col, proposal=ProposalKind.STANDARD, tailcut=True
             )
@@ -98,19 +103,26 @@ def main():
                 ),
             }
             # per-cell equivalence verdicts (sequential vs device on the
-            # SAME proposal): used colors within 15%, BI within 2 sigma
+            # SAME proposal).  Convergence must agree in every cell;
+            # used-colors/BI equivalence is only meaningful where the
+            # chains converge (non-convergent cells end wherever the
+            # tailcut left them — the reference's experiments count
+            # those via checkNoConv*, they don't compare quality there).
             s, d = c["sequential_standard"], c["device_standard"]
+            both_converged = s["converged"] == 1.0 and d["converged"] == 1.0
             c["checks"] = {
-                "all_valid": s["valid"] == 1.0 and d["valid"] == 1.0
-                and c["device_balance_dynamic"]["valid"] == 1.0,
                 "same_convergence": s["converged"] == d["converged"],
-                "used_colors_within_15pct": abs(
-                    s["used_colors"] - d["used_colors"]
-                )
+                "all_valid_when_converged": not both_converged
+                or (
+                    s["valid"] == 1.0
+                    and d["valid"] == 1.0
+                    and c["device_balance_dynamic"]["valid"] == 1.0
+                ),
+                "used_colors_within_15pct": not both_converged
+                or abs(s["used_colors"] - d["used_colors"])
                 <= 0.15 * max(s["used_colors"], d["used_colors"]),
-                "balance_index_within_2std": abs(
-                    s["balance_index"] - d["balance_index"]
-                )
+                "balance_index_within_2std": not both_converged
+                or abs(s["balance_index"] - d["balance_index"])
                 <= 2
                 * (s["balance_index_std"] + d["balance_index_std"])
                 + 0.5,

@@ -317,3 +317,28 @@ def test_cli_dbg_hastings_errors():
                 "--dbg", "--hastings", "--quiet",
             ]
         )
+
+
+def test_cli_active_hastings_errors():
+    with pytest.raises(SystemExit):
+        cli_main(
+            [
+                "--simulate", "0.1", "-n", "64", "--mcmcgpu",
+                "--active", "--hastings", "--quiet",
+            ]
+        )
+
+
+def test_cli_sharded_backend_reachable(tmp_path):
+    """--backend matmul reaches the sharded strip backend (review r3:
+    it was silently dropped on the mesh path)."""
+    out = tmp_path / "out"
+    rc = cli_main(
+        [
+            "--simulate", "0.05", "-n", "200", "--mcmcgpu",
+            "--mesh-chains", "2", "--mesh-shards", "4",
+            "--backend", "matmul", "--tailcut",
+            "--seed", "3", "--check", "--quiet", "--outDir", str(out),
+        ]
+    )
+    assert rc == 0

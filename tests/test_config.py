@@ -11,10 +11,10 @@ from mcmc_colorer_tpu.config import (
 
 
 def test_default_n_colors():
-    # nCol = maxDeg * numColRatio (main.cu:162)
+    # nCol = maxDeg / numColRatio: the flag is inverted at main.cu:53
+    # before the multiply at main.cu:162
     assert default_n_colors(64) == 64
-    # the ratio MULTIPLIES the palette (main.cu:162); rounds 1-2 divided
-    assert default_n_colors(64, 2.0) == 128
+    assert default_n_colors(64, 2.0) == 32
     assert default_n_colors(0) == 1  # at least one color
 
 
@@ -41,10 +41,10 @@ def test_run_config_derivations(tmp_path):
     cfg2 = RunConfig(graph_path="/data/reddit.txt", out_dir="/tmp/o")
     assert cfg2.graph_name == "reddit"
     assert cfg2.output_dir == "/tmp/o"
-    # numColRatio clamped to [1, 16] (ArgHandle.cpp:148-156); the ratio
-    # multiplies the palette (main.cu:162)
+    # numColRatio clamped to [1, 16] (ArgHandle.cpp:148-156); the flag
+    # divides the palette (main.cu:53 inverts, :162 multiplies)
     params = RunConfig(num_color_ratio=99.0).mcmc_params(max_degree=64)
-    assert params.n_colors == 64 * 16
+    assert params.n_colors == 4
     params2 = RunConfig(num_color_ratio=0.1).mcmc_params(max_degree=64)
     assert params2.n_colors == 64
 

@@ -397,3 +397,18 @@ def test_adaptive_switch_bitexact(medium_er):
     # second run reuses the built adjacency from iteration 0
     r_ad2 = c_ad.run(seed=31)
     assert np.array_equal(r_mm.colors, r_ad2.colors)
+
+
+def test_matmul_refuses_duplicate_edges():
+    """The 0/1 adjacency cannot represent multigraphs: get_adjacency
+    verifies nnz == 2m and refuses (review r3 — silent divergence from
+    the gather backends otherwise)."""
+    from mcmc_colorer_tpu.graph.container import Graph
+    from mcmc_colorer_tpu.ops.dense_adj import get_adjacency
+
+    rows = np.array([0, 0, 0, 1, 1, 2], np.int64)
+    cols = np.array([1, 1, 2, 0, 0, 0], np.int64)
+    g = Graph.from_edges(3, rows, cols, both_directions_present=True)
+    ell = g.to_ell(pad_nodes_to=8)
+    with pytest.raises(ValueError, match="duplicate edges"):
+        get_adjacency(g, ell.n_pad, "packed", ell)

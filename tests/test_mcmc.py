@@ -333,3 +333,13 @@ def test_sequential_free_color_trace(small_er):
     fct = r.extra["free_color_trace"]
     assert fct.shape == (r.iterations, 3)
     assert (fct[:, 0] <= fct[:, 2]).all() and (fct[:, 2] <= fct[:, 1]).all()
+
+
+def test_sequential_free_color_trace_with_taboo(small_er):
+    """Taboo-frozen nodes still contribute to the Zvcomp stats (the
+    reference scans free colors for every node; review r3)."""
+    p = _params(small_er.max_degree, max_iterations=8, taboo_iterations=3)
+    r = SequentialMCMCColorer(small_er, p).run(seed=6)
+    fct = r.extra["free_color_trace"]
+    assert (fct[:, 0] <= fct[:, 2]).all() and (fct[:, 2] <= fct[:, 1]).all()
+    assert (fct[:, 0] <= small_er.max_degree + 1).all()
