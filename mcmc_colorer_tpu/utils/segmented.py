@@ -22,9 +22,12 @@ import time
 
 # Keep well clear of the measured ~60 s execution wall.
 SEGMENT_TARGET_S = 20.0
-# First segment is deliberately small: it both measures per-iteration cost
-# and absorbs the (unbounded, harmless) compile time.
-INIT_BUDGET = 4
+# First segment is ONE iteration: it measures per-iteration cost and
+# absorbs the (unbounded, harmless) compile time.  It must be 1 — at
+# ER(1M) a single sweep runs ~15 s, so a 4-iteration first segment
+# crosses the ~60 s wall and kills the worker (measured, round 3);
+# the cost for small graphs is one extra ~32 ms readback.
+INIT_BUDGET = 1
 
 
 def drive_segments(

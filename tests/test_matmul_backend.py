@@ -369,7 +369,7 @@ def test_adaptive_switch_bitexact(medium_er):
     """A mid-run pallas->matmul switch produces the same chain as either
     backend alone (shared key schedule)."""
     # a palette hard enough that the chain outlives the first segment
-    # (INIT_BUDGET=4 iterations) — otherwise the switch never arms
+    # (INIT_BUDGET=1 iteration) — otherwise the switch never arms
     p = _params(medium_er, tailcut=True)
     p = MCMCParams(
         n_colors=max(2, medium_er.max_degree // 3),
@@ -385,7 +385,7 @@ def test_adaptive_switch_bitexact(medium_er):
 
     from mcmc_colorer_tpu.models.mcmc import _chain_segment_matmul
 
-    c_ad._switch_iter = 2
+    c_ad._switch_iter = 1
     c_ad._adj_kind = "dense"
     c_ad._jit_segment_matmul = jax.jit(
         partial(_chain_segment_matmul, params=p, block=c_ad.block)

@@ -351,6 +351,8 @@ def test_drive_segments_budget_adaptation():
         target_s=1e9,  # no time pressure: budget grows by `grow` each call
     )
     assert final[0] == 37
-    assert calls[0] == 4  # INIT_BUDGET
+    # INIT_BUDGET is 1: the first segment must stay under the execution
+    # wall even when one iteration costs ~15 s (ER(1M), round 3)
+    assert calls[0] == 1
     # growth is bounded by `grow`x per step
     assert all(b <= a * 8 for a, b in zip(calls, calls[1:]))
