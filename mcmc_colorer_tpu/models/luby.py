@@ -98,7 +98,9 @@ class LubyColorer:
                 from functools import partial
 
                 from mcmc_colorer_tpu.ops.dense_adj import (
-                    build_dense_adjacency,
+                    DENSE_ADJ_MAX_N,
+                    PACKED_NC_IMPL,
+                    get_adjacency,
                 )
 
                 uniq = _np.unique(_np.asarray(graph.degrees))
@@ -106,7 +108,19 @@ class LubyColorer:
                     uniq, _np.asarray(self.ell.degrees)
                 ).astype(_np.int32)
                 self._rank_class = jnp.asarray(rank)
-                self._adj = build_dense_adjacency(graph, self.ell.n_pad)
+                # same layout preference as the MCMC backend: packed on
+                # TPU (Mosaic bit-matmul, 8x less HBM), cached per graph
+                prefer_packed = PACKED_NC_IMPL == "pallas" and (
+                    jax.default_backend() not in ("cpu", "gpu")
+                )
+                kind = (
+                    "packed"
+                    if prefer_packed or self.ell.n_pad > DENSE_ADJ_MAX_N
+                    else "dense"
+                )
+                self._adj = get_adjacency(
+                    graph, self.ell.n_pad, kind, self.ell
+                )
                 seg5 = jax.jit(
                     partial(
                         _luby_segment_matmul, n_classes=int(uniq.size)
@@ -336,7 +350,6 @@ def _luby_segment_matmul(
     path (tests/test_segmented.py)."""
     n_pad = ell.n_pad
     real = ell.node_mask
-    r_pad = (n_classes + 127) // 128 * 128
     limit = carry[5] + budget
 
     def cond(carry):
@@ -349,16 +362,13 @@ def _luby_segment_matmul(
         u = jax.random.uniform(ku, (n_pad,), dtype=jnp.float32)
         sel = cands & (u < 0.5)  # set_initial_distr_k coin flip
         cls = jnp.where(sel, rank_class, jnp.int32(-1))
-        onehot = (
-            cls[:, None]
-            == jnp.arange(r_pad, dtype=jnp.int32)[None, :]
-        ).astype(jnp.int8)
-        m = jax.lax.dot_general(
-            adj,
-            onehot,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        # both contractions through neighbor_color_counts: dispatches on
+        # the adjacency dtype, so the dense int8 AND the bit-packed
+        # Mosaic layouts both work (round 3 — Luby rides the same cached
+        # packed A as the MCMC backend)
+        from mcmc_colorer_tpu.ops.dense_adj import neighbor_color_counts
+
+        m = neighbor_color_counts(adj, cls, n_classes)
         # selected neighbors in class >= own class (suffix count)
         suffix = jnp.cumsum(m[:, ::-1], axis=1)[:, ::-1]
         ge_cnt = jnp.take_along_axis(
@@ -368,11 +378,8 @@ def _luby_segment_matmul(
         surv = sel & ~beaten
         is_set = is_set | surv
         near = (
-            jax.lax.dot_general(
-                adj,
-                surv.astype(jnp.int8)[:, None],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
+            neighbor_color_counts(
+                adj, jnp.where(surv, 0, jnp.int32(-1)), 1
             )[:, 0]
             > 0
         )

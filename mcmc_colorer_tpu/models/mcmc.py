@@ -650,6 +650,29 @@ def _sweep_pallas(
     return star, new_taboo, logq
 
 
+# Cap on the materialised [SB, d_pad] neighbor-color matrix per sweep
+# super-block.  XLA holds ~2 copies of the gather output around the
+# kernel call (measured via memory_analysis, round 3: 2.6 GB of temps at
+# ER(500k) — and a compile-time OOM at ER(1M), 19.1 GB > 15.75); capping
+# the super-block keeps the temporaries ~2x512 MB at any n.
+_FUSED_NC_BYTES_CAP = 512 * 1024**2
+
+
+def _fused_super_block(n_pad: int, d_pad: int) -> int:
+    """Largest 128-multiple divisor of n_pad whose [SB, d_pad] int32
+    gather output stays under the cap (n_pad itself when it fits)."""
+    cap_rows = max(128, _FUSED_NC_BYTES_CAP // max(d_pad * 4, 1))
+    if n_pad <= cap_rows:
+        return n_pad
+    sb = 128
+    d = 128
+    while d <= n_pad:
+        if n_pad % d == 0 and d <= cap_rows:
+            sb = d
+        d *= 2
+    return sb
+
+
 def _sweep_pallas_fused(
     ell: EllGraph,
     params: MCMCParams,
@@ -662,26 +685,53 @@ def _sweep_pallas_fused(
 ):
     """Like `_sweep_pallas` but also returns the conflict-edge count of
     the CURRENT coloring, computed inside the kernel from the same
-    neighbor-color matrix — the whole iteration costs ONE gather."""
+    neighbor-color matrix — the whole iteration costs ONE gather.
+
+    The gather+kernel pair runs per row super-block under `lax.map` so
+    the [SB, d_pad] neighbor-color matrix (not the full n_pad rectangle)
+    is the only sweep temporary — at ER(1M) the monolithic version needs
+    ~2x5 GB of temps and fails to compile."""
     from mcmc_colorer_tpu.ops.pallas_resample import pallas_sweep
 
-    nc = neighbor_colors(ell.neighbors, colors)
+    n_pad, d_pad = ell.neighbors.shape
     p_eff_arr = (
         p_eff
         if p_eff is not None
         else jnp.zeros((params.n_colors,), jnp.float32)
     )
-    star, qstar, new_taboo, conf = pallas_sweep(
-        nc,
-        ell.neighbors,
-        colors,
-        taboo,
-        unif,
-        p_eff_arr,
-        jnp.float32(params.epsilon) if eps is None else eps,
-        params=params,
-        block=min(block, 128),
-    )
+    eps_arr = jnp.float32(params.epsilon) if eps is None else eps
+    sb = _fused_super_block(n_pad, d_pad)
+    self_ids = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def sb_fn(xs):
+        neigh_sb, cur_sb, taboo_sb, unif_sb, ids_sb = xs
+        nc = neighbor_colors(neigh_sb, colors)
+        return pallas_sweep(
+            nc,
+            neigh_sb,
+            cur_sb,
+            taboo_sb,
+            unif_sb,
+            p_eff_arr,
+            eps_arr,
+            params=params,
+            block=min(block, 128),
+            self_ids=ids_sb,
+        )
+
+    if sb == n_pad:
+        star, qstar, new_taboo, conf = sb_fn(
+            (ell.neighbors, colors, taboo, unif, self_ids)
+        )
+    else:
+        star_b, qstar_b, taboo_b, conf_b = _map_blocks(
+            sb_fn, n_pad // sb, sb, ell.neighbors, colors, taboo, unif,
+            self_ids,
+        )
+        star = star_b.reshape(n_pad)
+        qstar = qstar_b.reshape(n_pad)
+        new_taboo = taboo_b.reshape(n_pad)
+        conf = jnp.sum(conf_b)
     star = jnp.where(ell.node_mask, star, colors)
     qstar = jnp.where(ell.node_mask, qstar, 1.0)
     new_taboo = jnp.where(ell.node_mask, new_taboo, 0)

@@ -209,3 +209,53 @@ def test_chunked_kernel_wide_palette_matches_xla(kind):
     keep = 1.0 - (params.n_colors - 1) * params.epsilon
     expect = np.where(tb, keep, q_sel)
     assert np.allclose(np.asarray(qstar_p)[real], expect[real], atol=1e-6)
+
+
+def test_fused_sweep_super_blocked_bitexact(medium_er):
+    """Capping the per-super-block NC matrix (the ER(1M) compile-OOM fix,
+    round 3) must not change the sweep: same stars, taboo and conflict
+    count as the monolithic call."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcmc_colorer_tpu.config import MCMCParams, ProposalKind
+    from mcmc_colorer_tpu.models import mcmc as m
+
+    g = medium_er
+    ell = g.to_ell(pad_nodes_to=128)
+    params = MCMCParams(
+        n_colors=g.max_degree,
+        proposal=ProposalKind.BALANCE_DYNAMIC,
+        taboo_iterations=2,
+    )
+    key = jax.random.key(3)
+    k_c, k_u = jax.random.split(key)
+    colors = jnp.where(
+        ell.node_mask,
+        jax.random.randint(k_c, (ell.n_pad,), 0, params.n_colors, jnp.int32),
+        jnp.int32(params.n_colors),
+    )
+    taboo = jnp.zeros((ell.n_pad,), jnp.int32)
+    unif = jax.random.uniform(k_u, (ell.n_pad,), dtype=jnp.float32)
+    from mcmc_colorer_tpu.models.mcmc import _variant_distribution
+    from mcmc_colorer_tpu.ops.neighbor import color_histogram
+
+    hist = color_histogram(colors, params.n_colors, ell.node_mask)
+    p_eff = _variant_distribution(params, hist, g.n)
+
+    ref = m._sweep_pallas_fused(ell, params, 128, colors, taboo, unif, p_eff)
+    assert m._fused_super_block(ell.n_pad, ell.neighbors.shape[1]) == ell.n_pad
+    cap_old = m._FUSED_NC_BYTES_CAP
+    try:
+        m._FUSED_NC_BYTES_CAP = 128 * ell.neighbors.shape[1] * 4  # SB=128
+        assert m._fused_super_block(ell.n_pad, ell.neighbors.shape[1]) == 128
+        got = m._sweep_pallas_fused(
+            ell, params, 128, colors, taboo, unif, p_eff
+        )
+    finally:
+        m._FUSED_NC_BYTES_CAP = cap_old
+    for a, b in zip(ref[:2], got[:2]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.isclose(float(ref[2]), float(got[2]), rtol=1e-5)
+    assert int(ref[3]) == int(got[3])
