@@ -525,10 +525,23 @@ def _conflict_edges(ell: EllGraph, colors: jnp.ndarray) -> jnp.ndarray:
     colors_ext = jnp.concatenate(
         [colors, jnp.full((1,), -1, jnp.int32)]
     )
-    nc = jnp.take(colors_ext, ell.neighbors, axis=0)
-    self_ids = jnp.arange(ell.n_pad, dtype=jnp.int32)[:, None]
-    same = (nc == colors[:, None]) & (ell.neighbors > self_ids)
-    return jnp.sum(same, dtype=jnp.int32)
+    n_pad, d_pad = ell.neighbors.shape
+    node_ids = jnp.arange(n_pad, dtype=jnp.int32)
+    # per-super-block gathers: the monolithic count holds ~2 full
+    # [n_pad, d_pad] temporaries (10.3 GB at ER(1M), memory_analysis r3)
+    sb = _fused_super_block(n_pad, d_pad)
+
+    def sb_fn(xs):
+        neigh_sb, own_sb, ids_sb = xs
+        nc = jnp.take(colors_ext, neigh_sb, axis=0)
+        same = (nc == own_sb[:, None]) & (neigh_sb > ids_sb[:, None])
+        return jnp.sum(same, dtype=jnp.int32)
+
+    if sb == n_pad:
+        return sb_fn((ell.neighbors, colors, node_ids))
+    return jnp.sum(
+        _map_blocks(sb_fn, n_pad // sb, sb, ell.neighbors, colors, node_ids)
+    )
 
 
 # ----------------------- degree-bucketed layout path -----------------------
@@ -1104,12 +1117,17 @@ def _tailcut_body_flat(ell, key, *, params: MCMCParams, block: int):
     _utils.cu:93-99); if a round makes no progress the conflicting
     vertices are randomly recolored — the reference's own dead-code stall
     escape, unlock_stall (coloringMCMC_CPUutils.cpp:49-67)."""
-    n_pad = ell.n_pad
+    n_pad, d_pad = ell.neighbors.shape
     n_colors = params.n_colors
     node_ids = jnp.arange(n_pad, dtype=jnp.int32)
     use_pallas = _tailcut_use_pallas(params)
+    # gathers run per row super-block (like _sweep_pallas_fused): the
+    # monolithic round held 3 full [n_pad, d_pad] temporaries and was
+    # the program that failed to compile at ER(1M) (19.1 GB, round 3)
+    sb = _fused_super_block(n_pad, d_pad)
 
     def first_free(nc_r):
+        rows = nc_r.shape[0]
         if use_pallas:
             from mcmc_colorer_tpu.ops.pallas_firstfit import pallas_first_fit
 
@@ -1119,7 +1137,7 @@ def _tailcut_body_flat(ell, key, *, params: MCMCParams, block: int):
                 n_colors=n_colors,
                 block=min(block, 128),
             )
-        n_blocks = n_pad // block
+        blk = min(block, rows)
 
         def block_fn(xs):
             (nc_blk,) = xs
@@ -1128,27 +1146,53 @@ def _tailcut_body_flat(ell, key, *, params: MCMCParams, block: int):
             k = jnp.argmax(~occ, axis=1).astype(jnp.int32)
             return jnp.where(found, k, -1)
 
-        out = _map_blocks(block_fn, n_blocks, block, nc_r)
-        return out.reshape(n_pad)
+        out = _map_blocks(block_fn, rows // blk, blk, nc_r)
+        return out.reshape(rows)
 
     def body(carry):
         cols_r, conf, rounds, _ = carry
-        nc_r = neighbor_colors(ell.neighbors, cols_r)
-        same = (nc_r == cols_r[:, None]) & (
-            ell.neighbors > node_ids[:, None]
-        )
-        conf = jnp.sum(same, dtype=jnp.int32)
-        flags = jnp.any(nc_r == cols_r[:, None], axis=1) & ell.node_mask
-        cand_r = first_free(nc_r)
+
+        def sb_conf(xs):
+            neigh_sb, own_sb, ids_sb = xs
+            nc_sb = neighbor_colors(neigh_sb, cols_r)
+            same = (nc_sb == own_sb[:, None]) & (
+                neigh_sb > ids_sb[:, None]
+            )
+            conf_sb = jnp.sum(same, dtype=jnp.int32)
+            flags_sb = jnp.any(nc_sb == own_sb[:, None], axis=1)
+            cand_sb = first_free(nc_sb)
+            return conf_sb, flags_sb, cand_sb
+
+        if sb == n_pad:
+            conf, flags, cand_r = sb_conf((ell.neighbors, cols_r, node_ids))
+        else:
+            conf_b, flags_b, cand_b = _map_blocks(
+                sb_conf, n_pad // sb, sb, ell.neighbors, cols_r, node_ids
+            )
+            conf = jnp.sum(conf_b)
+            flags = flags_b.reshape(n_pad)
+            cand_r = cand_b.reshape(n_pad)
+        flags = flags & ell.node_mask
+        cand_r = jnp.where(ell.node_mask, cand_r, -1)
         movable = flags & (cand_r >= 0)
         movable_ext = jnp.concatenate(
             [movable, jnp.zeros((1,), jnp.bool_)]
         )
-        lower_movable = jnp.any(
-            jnp.take(movable_ext, ell.neighbors, axis=0)
-            & (ell.neighbors < node_ids[:, None]),
-            axis=1,
-        )
+
+        def sb_lower(xs):
+            neigh_sb, ids_sb = xs
+            return jnp.any(
+                jnp.take(movable_ext, neigh_sb, axis=0)
+                & (neigh_sb < ids_sb[:, None]),
+                axis=1,
+            )
+
+        if sb == n_pad:
+            lower_movable = sb_lower((ell.neighbors, node_ids))
+        else:
+            lower_movable = _map_blocks(
+                sb_lower, n_pad // sb, sb, ell.neighbors, node_ids
+            ).reshape(n_pad)
         active = movable & ~lower_movable
         stalled = (conf > 0) & ~jnp.any(active)
         rnd = jax.random.randint(
