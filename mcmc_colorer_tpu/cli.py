@@ -67,9 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
         epilog=_CITATION,
     )
     ds = p.add_argument_group("Dataset")
-    ds.add_argument("--graph", metavar="file.txt", help="input edge list")
-    ds.add_argument("--outDir", dest="out_dir", help="output directory")
+    ds.add_argument("-g", "--graph", metavar="file.txt", help="input edge list")
+    ds.add_argument("-o", "--outDir", dest="out_dir", help="output directory")
     ds.add_argument(
+        "-s",
         "--simulate",
         type=float,
         metavar="P",
@@ -77,11 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ds.add_argument("-n", "--nodes", type=int, default=0, help="node count")
     alg = p.add_argument_group("Coloring algorithm")
-    alg.add_argument("--mcmccpu", action="store_true", help="sequential MCMC")
-    alg.add_argument("--mcmcgpu", action="store_true", help="parallel MCMC")
-    alg.add_argument("--lubygpu", action="store_true", help="Luby MIS")
-    alg.add_argument("--grdffgpu", action="store_true", help="Greedy FF")
-    alg.add_argument("--vffgpu", action="store_true", help="GFF + VFF rebalance")
+    alg.add_argument("--mcmccpu", "-1", action="store_true", help="sequential MCMC")
+    alg.add_argument("--mcmcgpu", "-2", action="store_true", help="parallel MCMC")
+    alg.add_argument("--lubygpu", "-3", action="store_true", help="Luby MIS")
+    alg.add_argument("--grdffgpu", "-4", action="store_true", help="Greedy FF")
+    alg.add_argument("--vffgpu", "-5", action="store_true", help="GFF + VFF rebalance")
     alg.add_argument(
         "--greedycpu",
         action="store_true",
@@ -89,20 +90,21 @@ def build_parser() -> argparse.ArgumentParser:
         "ColoringGreedyCPU, colorer.cpp:135-208 — not CLI-reachable there)",
     )
     mc = p.add_argument_group("Coloring options (MCMC)")
-    mc.add_argument("--nCol", dest="n_col", type=int, default=0)
+    mc.add_argument("-k", "--nCol", dest="n_col", type=int, default=0)
     mc.add_argument(
-        "--numColRatio", dest="num_col_ratio", type=float, default=1.0
+        "-r", "--numColRatio", dest="num_col_ratio", type=float, default=1.0
     )
     # the reference spells the flag singular (ArgHandle.cpp:46); both
     # spellings are accepted so its command lines run unmodified
     mc.add_argument(
+        "-t",
         "--tabooIteration",
         "--tabooIterations",
         dest="taboo_iterations",
         type=int,
         default=0,
     )
-    mc.add_argument("--tailcut", action="store_true")
+    mc.add_argument("-l", "--tailcut", action="store_true")
     mc.add_argument(
         "--proposal",
         choices=[k.value for k in ProposalKind],
@@ -115,11 +117,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="enable Metropolis-Hastings acceptance (off in the reference)",
     )
     gen = p.add_argument_group("General")
-    gen.add_argument("--repet", type=int, default=1)
+    gen.add_argument("-R", "--repet", type=int, default=1)
     gen.add_argument(
-        "--seed", type=int, default=None, help="RNG seed (default: time)"
+        "-S", "--seed", type=int, default=None, help="RNG seed (default: time)"
     )
     gen.add_argument(
+        "-v",
         "--verbose-level",
         dest="verbose_level",
         type=int,
@@ -128,6 +131,7 @@ def build_parser() -> argparse.ArgumentParser:
         "TRACE ENABLE in logger.conf (ArgHandle.cpp:51,217)",
     )
     gen.add_argument(
+        "-M",
         "--cite-me",
         dest="cite_me",
         action="store_true",

@@ -233,6 +233,7 @@ class MCMCColorer:
         # converges first never pays the build (VERDICT r2 item 2)
         self._switch_iter: int | None = None
         self._adj_kind: str | None = None
+        self._auto_deferred = False  # re-estimate switch from measured rent
         if backend == "auto":
             if jax.default_backend() in ("cpu", "gpu"):
                 backend = "xla"
@@ -292,9 +293,16 @@ class MCMCColorer:
                     elif switch > 2:
                         # defer: start on the pallas sweep, switch at rip
                         # >= switch (bit-identical chains either way —
-                        # the backends share the key schedule)
+                        # the backends share the key schedule).  The
+                        # switch point is re-estimated at every segment
+                        # boundary from MEASURED gather wall time and the
+                        # measured-or-pessimistic build estimate
+                        # (_auto_deferred, run()), so a mis-modeled cost
+                        # cannot fire a build the run can't recoup
+                        # (VERDICT r3 item 1c).
                         self._switch_iter = switch
                         self._adj_kind = kind
+                        self._auto_deferred = True
                         backend = "pallas"
                     # else: build eagerly (switch <= 2: not worth a
                     # deferred phase)
@@ -462,7 +470,38 @@ class MCMCColorer:
                 )
             return self._jit_segment(self.ell, c, jnp.int32(b))
 
-        carry = drive_segments(segment, carry, progress)
+        # measured-rent re-estimation (auto mode only): after each gather
+        # segment, refit the switch point with the OBSERVED per-iteration
+        # wall time and the measured-or-pessimistic build estimate — the
+        # static model's constants have been seen 100x off on this image
+        # (remote-compile variance, VERDICT r3 weak 1).  The first
+        # segment bears the sweep compile and is discarded.
+        rent = {"first": True, "prev": 0, "s": 0.0, "iters": 0}
+
+        def on_seg(state, steps, budget, elapsed):
+            delta = int(steps) - rent["prev"]
+            rent["prev"] = int(steps)
+            if not (self._auto_deferred and self._adj is None):
+                return
+            if rent["first"]:
+                rent["first"] = False
+                return
+            rent["s"] += elapsed
+            rent["iters"] += delta
+            if rent["iters"] > 0:
+                from mcmc_colorer_tpu.ops.dense_adj import (
+                    amortize_switch_iter,
+                )
+
+                self._switch_iter = amortize_switch_iter(
+                    self.ell.n_pad,
+                    self.ell.neighbors.shape[1],
+                    self._adj_kind,
+                    params.max_iterations,
+                    gather_s=rent["s"] / rent["iters"],
+                )
+
+        carry = drive_segments(segment, carry, progress, on_segment=on_seg)
         colors, _taboo, key, rip, conflicts, trace, _done = carry
         if self._fused_carry:
             conflicts = self._jit_final(self.ell, carry)

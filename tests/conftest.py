@@ -5,10 +5,16 @@ The real target is a TPU mesh; multi-chip paths are validated on CPU via
 for the single real TPU chip, so the platform is overridden in-process)."""
 
 import os
+import tempfile
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
+)
+# keep test-measured build rates out of the machine's real calibration
+# store (utils/calibration.py)
+os.environ["MCMC_COLORER_CALIBRATION"] = os.path.join(
+    tempfile.mkdtemp(prefix="mcmc_cal_"), "calibration.json"
 )
 
 import jax

@@ -342,6 +342,7 @@ def test_get_adjacency_cache(medium_er):
 
 
 def test_amortize_switch_iter():
+    from mcmc_colorer_tpu.ops import dense_adj
     from mcmc_colorer_tpu.ops.dense_adj import (
         amortize_switch_iter,
         estimate_build_s,
@@ -349,20 +350,90 @@ def test_amortize_switch_iter():
         estimate_matmul_sweep_s,
     )
 
-    # headline regime: matmul wins well within the 250-iteration budget
-    s = amortize_switch_iter(102_400, 1152, "dense", 250)
-    assert s is not None and 0 < s < 250
-    # the switch point charges ~the build cost to the gather phase
-    assert s * estimate_gather_sweep_s(102_400, 1152) >= estimate_build_s(
-        102_400, 1152
+    dense_adj.measured_build_rates.clear()
+    try:
+        # with the happy-path rate actually observed (as a real build on
+        # this machine records), the headline regime switches well within
+        # the 250-iteration budget
+        dense_adj.measured_build_rates["dense"] = (
+            dense_adj.ADJ_BUILD_SLOTS_S["dense"]
+        )
+        s = amortize_switch_iter(102_400, 1152, "dense", 250)
+        assert s is not None and 0 < s < 250
+        # the switch point charges ~the build cost to the gather phase
+        assert s * estimate_gather_sweep_s(
+            102_400, 1152
+        ) >= estimate_build_s(102_400, 1152)
+        # tiny budget: can never recoup the build
+        assert amortize_switch_iter(102_400, 1152, "dense", 4) is None
+        # gather already cheap (low degree): matmul never wins
+        assert (
+            estimate_matmul_sweep_s(102_400, "dense")
+            > estimate_gather_sweep_s(102_400, 16)
+        ) == (amortize_switch_iter(102_400, 16, "dense", 250) is None)
+        # a measured gather rate overrides the model estimate: an
+        # observed-slow gather pulls the switch point earlier
+        s_slow = amortize_switch_iter(102_400, 1152, "dense", 250,
+                                      gather_s=10.0)
+        assert s_slow is not None and s_slow < s
+    finally:
+        dense_adj.measured_build_rates.clear()
+    # with NO measurement anywhere, the estimate is pessimistic
+    # (ADJ_BUILD_PESSIMISM x the constant) — a 100x-off model must not
+    # fire a switch the run cannot recoup (VERDICT r3 item 1c)
+    assert estimate_build_s(102_400, 1152, "dense") == pytest.approx(
+        102_400 * 1152 / dense_adj.ADJ_BUILD_SLOTS_S["dense"]
+        * dense_adj.ADJ_BUILD_PESSIMISM
     )
-    # tiny budget: can never recoup the build
-    assert amortize_switch_iter(102_400, 1152, "dense", 4) is None
-    # gather already cheap (low degree): matmul never wins
-    assert (
-        estimate_matmul_sweep_s(102_400, "dense")
-        > estimate_gather_sweep_s(102_400, 16)
-    ) == (amortize_switch_iter(102_400, 16, "dense", 250) is None)
+
+
+def test_build_stats_and_calibration(small_er):
+    """get_adjacency fills per-phase stats; warning-free builds (VERDICT
+    r3 items 1a and 4); large-build rates go to the calibration store."""
+    import warnings
+
+    from mcmc_colorer_tpu.ops import dense_adj
+    from mcmc_colorer_tpu.ops.dense_adj import adjacency_nnz, get_adjacency
+    from mcmc_colorer_tpu.utils import calibration
+
+    g = small_er
+    ell = g.to_ell(pad_nodes_to=8)
+    stats = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        adj = get_adjacency(g, ell.n_pad, "packed", ell, stats=stats)
+        nnz = adjacency_nnz(adj)
+    assert nnz == 2 * g.n_edges
+    assert stats["cached"] is False
+    assert stats["compile_s"] >= 0 and stats["scatter_s"] >= 0
+    assert stats["total_s"] >= stats["scatter_s"]
+    stats2 = {}
+    get_adjacency(g, ell.n_pad, "packed", ell, stats=stats2)
+    assert stats2["cached"] is True
+    # a small build must NOT pollute the calibration store
+    assert "packed" not in dense_adj.measured_build_rates or (
+        ell.n_pad * ell.neighbors.shape[1] >= 8_000_000
+    )
+    calibration.reset_for_tests()
+
+
+def test_simple_certified_skips_nnz_check(small_er):
+    """Generator graphs are certified simple: the multigraph nnz pass is
+    skipped (VERDICT r3 item 1d) — while imported graphs still pay it
+    (test_matmul_refuses_duplicate_edges)."""
+    from unittest import mock
+
+    from mcmc_colorer_tpu.ops import dense_adj
+
+    g = small_er
+    assert getattr(g, "simple_certified", False)
+    g.__dict__.pop("_adj_cache", None)
+    ell = g.to_ell(pad_nodes_to=8)
+    with mock.patch.object(
+        dense_adj, "check_adjacency_complete",
+        side_effect=AssertionError("must not be called"),
+    ):
+        dense_adj.get_adjacency(g, ell.n_pad, "dense", ell)
 
 
 def test_adaptive_switch_bitexact(medium_er):
