@@ -99,18 +99,23 @@ def get_adjacency(graph, n_pad: int, kind: str, ell=None, stats=None):
     arrays ship to the device at all.
 
     ``stats`` (optional dict) receives per-phase wall times so committed
-    benchmarks are self-explaining (VERDICT r3 item 1): ``compile_s``
-    (jit of the scatter program — remote on this image, the dominant and
-    most variable phase), ``scatter_s`` (chunked execute + readback),
-    ``check_s`` (the multigraph nnz popcount pass), ``total_s``, and
-    ``cached`` (True when no build ran).  The nnz completeness check is
-    skipped for graphs the generators certify simple
-    (``graph.simple_certified`` — a G(n,p)/BA sample cannot hold
-    duplicate edges, so the multigraph refusal has nothing to refuse);
-    imported graphs always pay it.  Each real build also records its
-    measured all-in slot rate (``measured_build_rates``) so the
-    backend='auto' amortization rents against observed cost, not a
-    constant."""
+    benchmarks are self-explaining (VERDICT r3 item 1): ``upload_s``
+    (waiting for the ELL rectangle to finish its host->device transfer —
+    on this image the axon tunnel moves ~9 MB/s, so a 465 MB ELL at
+    ER(100k) costs ~50 s; without this split the first device op
+    silently absorbs it, which is exactly how BENCH_r03's "1659 s
+    build" happened), ``compile_s`` (jit of the scatter program — remote
+    here), ``scatter_s`` (chunked execute + readback; ~1.5 s at
+    ER(100k), scripts/probe_buildfast.py), ``check_s`` (the multigraph
+    nnz popcount pass), ``total_s``, and ``cached`` (True when no build
+    ran).  The nnz completeness check is skipped for graphs the
+    generators certify simple (``graph.simple_certified`` — a G(n,p)/BA
+    sample cannot hold duplicate edges, so the multigraph refusal has
+    nothing to refuse); imported graphs always pay it.  Each real build
+    also records its measured post-upload slot rate
+    (``measured_build_rates``) so the backend='auto' amortization rents
+    against observed cost, not a constant (the upload is excluded: every
+    backend pays it, so it is not part of the switch decision)."""
     import time
 
     cache = graph.__dict__.setdefault("_adj_cache", {})
@@ -118,6 +123,12 @@ def get_adjacency(graph, n_pad: int, kind: str, ell=None, stats=None):
     if stats is None:
         stats = {}
     if key not in cache:
+        if ell is not None and ell.n_pad == n_pad:
+            # wait out the ELL upload first so the build phases below
+            # measure device work, not the tunnel
+            t0 = time.perf_counter()
+            np.asarray(ell.neighbors[:1, :1])
+            stats["upload_s"] = time.perf_counter() - t0
         t_all = time.perf_counter()
         stats["cached"] = False
         if ell is not None and ell.n_pad == n_pad:
@@ -357,9 +368,12 @@ MATMUL_BYTES_S = 80e9       # effective HBM rate of the NC contraction
 # n=100k, nCol=1131): pallas in-kernel unpack 121 ms vs dense 133 ms;
 # the portable xla unpack loop 220 ms
 PACKED_SWEEP_FACTORS = {"pallas": 0.92, "xla": 1.65}
-# ELL-scatter build rates (scattered slots/s), all-in (incl. the one-time
-# compile): probe_adjbuild/bench_packed at n=100k measured dense/ell
-# 28-38 s and packed/ell ~15 s for ~116M ELL slots
+# ELL-scatter build rates (scattered slots/s), post-upload, incl. the
+# one-time remote compile: probe_buildfast (round 4) measured the packed
+# build at 12.4 s cold (10.9 compile + 1.5 scatter) for ~114M ELL slots
+# => ~9M slots/s cold, ~76M/s with a warm compile cache.  The ELL
+# upload itself (~50 s over the tunnel at ER(100k)) is NOT part of the
+# rate: every backend pays it, so it is irrelevant to the switch.
 ADJ_BUILD_SLOTS_S = {"dense": 3.5e6, "packed": 7.5e6}
 # Build cost is dominated by a REMOTE jit compile whose wall time varies
 # wildly across processes on this image (15 s vs 1659 s for the same

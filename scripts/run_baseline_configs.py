@@ -35,13 +35,31 @@ def timed(fn):
     return out, time.perf_counter() - t0
 
 
+def timed_split(colorer, seed):
+    """Run twice on the same colorer: the first run bears every jit
+    compile, the second reuses the in-memory executables — so
+    seconds_steady is the honest per-run cost and seconds_compile the
+    one-time part (VERDICT r3 item 7: the 935 s vs 259 s config3 swing
+    was uninterpretable without this split)."""
+    r, t_total = timed(lambda: colorer.run(seed=seed))
+    _, t_steady = timed(lambda: colorer.run(seed=seed))
+    return r, {
+        "seconds_total": round(t_total, 2),
+        "seconds_compile": round(max(0.0, t_total - t_steady), 2),
+        "seconds_steady": round(t_steady, 2),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="baseline_report.json")
     ap.add_argument("--small", action="store_true")
     args = ap.parse_args()
     small = args.small
-    report = {"backend": jax.default_backend()}
+    from mcmc_colorer_tpu.utils import compcache
+
+    cache_dir = compcache.enable()
+    report = {"backend": jax.default_backend(), "compile_cache": cache_dir}
 
     # ---- config 1: sequential MCMC on ER(1000, 0.1) ---------------------
     from mcmc_colorer_tpu.models.mcmc_sequential import SequentialMCMCColorer
@@ -102,15 +120,18 @@ def main():
                     proposal=ProposalKind.BALANCE_DYNAMIC,
                     tailcut=True,
                 )
-                r3, t3 = timed(lambda: MCMCColorer(g3, p3).run(seed=31))
+                colorer3, t3_setup = timed(lambda: MCMCColorer(g3, p3))
+                r3, t3 = timed_split(colorer3, 31)
                 sweep[str(ratio)] = {
                     "n_colors": n_col,
                     "valid": check_coloring(g3, r3.colors),
                     "iterations": r3.iterations,
                     "used_colors": r3.used_colors,
                     "balance_index": r3.balance_index(p_edge3),
-                    "seconds": t3,
+                    "seconds_setup": round(t3_setup, 2),
+                    **t3,
                 }
+                del colorer3
                 print(f"config3 ratio={ratio}:", sweep[str(ratio)], flush=True)
             break
         except Exception as e:  # HBM OOM → halve
@@ -132,29 +153,90 @@ def main():
             gc.collect()
     report["config3_ratio_sweep"] = {"n": n3, "p": p_edge3, "sweep": sweep}
 
-    # ---- config 4: real-world-like pipeline -----------------------------
+    # ---- config 4: real-world pipeline through the CONVERTERS -----------
+    # The reference colors network-repository / reddit datasets after
+    # converting them (pyScripts/convertDataset.py:1-65, convertReddit.py)
+    # — this image has no network egress, so a BA sample (the same
+    # heavy-tailed regime) is serialised in each UPSTREAM layout and then
+    # driven through the real converter -> importer -> colorer pipeline
+    # end-to-end (VERDICT r3 item 5).
     n4 = 50_000 if not small else 1000
     g0 = barabasi_albert(n4, 8, seed=4)
     with tempfile.TemporaryDirectory() as td:
-        path = f"{td}/graph.txt"
-        gio.write_edge_list(g0, path, use_names=True)
-        # route through the native/py importer like a converted dataset
-        g4 = gio.load_edge_list(path)
+        # (a) networkrepository .mtx-like layout: comment header, counts
+        # line, bare src/dst pairs (plus a few self-arcs like real dumps)
+        raw = f"{td}/soc-sample.mtx"
+        with open(raw, "w") as f:
+            f.write("%% networkrepository sample (BA 50k regime)\n")
+            f.write(f"{g0.n} {g0.n} {g0.n_edges}\n")
+            u = np.repeat(np.arange(g0.n, dtype=np.int64), g0.degrees)
+            v = g0.cols.astype(np.int64)
+            mask = u < v
+            for a, b in zip(u[mask], v[mask]):
+                f.write(f"{a} {b}\n")
+            f.write(f"7 7\n17 17\n")  # self-arcs: testSelfArcs.py regime
+        conv = f"{td}/soc-sample.txt"
+        gio.convert_network_repository(raw, conv)
+        clean = f"{td}/soc-sample-clean.txt"
+        n_self = gio.strip_self_arcs(conv, clean)
+        g4 = gio.load_edge_list(clean)
     p4 = MCMCParams(
         n_colors=g4.max_degree,
         proposal=ProposalKind.BALANCE_DYNAMIC,
         tailcut=True,
     )
-    r4, t4 = timed(lambda: MCMCColorer(g4, p4).run(seed=41))
-    report["config4_real_world_like"] = {
+    colorer4, t4_setup = timed(lambda: MCMCColorer(g4, p4))
+    r4, t4 = timed_split(colorer4, 41)
+    report["config4_real_world_converted"] = {
+        "converter": "convert_network_repository + strip_self_arcs",
+        "self_arcs_removed": n_self,
         "n": g4.n,
         "m": g4.n_edges,
         "max_deg": g4.max_degree,
         "valid": check_coloring(g4, r4.colors),
         "used_colors": r4.used_colors,
-        "seconds": t4,
+        "seconds_setup": round(t4_setup, 2),
+        **t4,
     }
-    print("config4:", report["config4_real_world_like"], flush=True)
+    print("config4:", report["config4_real_world_converted"], flush=True)
+    del colorer4
+
+    # (b) reddit-CSV layout through convert_reddit_csv, colored too
+    n4b = 5_000 if not small else 500
+    g0b = barabasi_albert(n4b, 6, seed=44)
+    with tempfile.TemporaryDirectory() as td:
+        raw = f"{td}/reddit.csv"
+        with open(raw, "w") as f:
+            u = np.repeat(np.arange(g0b.n, dtype=np.int64), g0b.degrees)
+            v = g0b.cols.astype(np.int64)
+            mask = u < v
+            for a, b in zip(u[mask], v[mask]):
+                f.write(f"r/{a},r/{b},2019\n")
+        conv = f"{td}/reddit.txt"
+        gio.convert_reddit_csv(raw, conv)
+        # converted files carry no header count line; load_edge_list
+        # skips line 1 (fileImporter.cpp:27), matching the reference's
+        # convention that converted output gets the header prepended
+        with open(conv) as f:
+            body = f.read()
+        with open(conv, "w") as f:
+            f.write(f"{g0b.n} {g0b.n_edges}\n" + body)
+        g4b = gio.load_edge_list(conv)
+    p4b = MCMCParams(
+        n_colors=g4b.max_degree,
+        proposal=ProposalKind.BALANCE_DYNAMIC,
+        tailcut=True,
+    )
+    r4b, t4b = timed(lambda: MCMCColorer(g4b, p4b).run(seed=42))
+    report["config4b_reddit_converted"] = {
+        "converter": "convert_reddit_csv",
+        "n": g4b.n,
+        "m": g4b.n_edges,
+        "valid": check_coloring(g4b, r4b.colors),
+        "used_colors": r4b.used_colors,
+        "seconds": round(t4b, 2),
+    }
+    print("config4b:", report["config4b_reddit_converted"], flush=True)
 
     # ---- config 5: 64-chain ensemble + best-of-chains -------------------
     from mcmc_colorer_tpu.parallel.chains import EnsembleMCMCColorer

@@ -31,7 +31,12 @@ from mcmc_colorer_tpu.models.base import check_coloring
 from mcmc_colorer_tpu.models.mcmc import MCMCColorer
 from mcmc_colorer_tpu.models.mcmc_sequential import SequentialMCMCColorer
 
-DENSITIES = (0.001, 0.005)
+# p=0.04 added in round 4 (VERDICT r3 weak 5): at n=4000 its max degree
+# is ~210, so the palette stays >= ~13 colors even at ratio 16 — the
+# regime where the balance proposals actually differ from standard (at
+# nCol <= 3 the redistribution degenerates and the variants are
+# provably bit-identical, which 6 of 10 round-3 cells were)
+DENSITIES = (0.001, 0.005, 0.04)
 RATIOS = (1.0, 2.0, 4.0, 8.0, 16.0)
 
 
@@ -60,7 +65,7 @@ def cell(factory, g, p_edge, seeds):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4000)
-    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seeds", type=int, default=10)
     ap.add_argument("--out", default="docs/validate_matrix.json")
     ap.add_argument("--plot", default="docs/validate_matrix_3d.png")
     args = ap.parse_args()
@@ -134,6 +139,16 @@ def main():
                 * (s["balance_index_std"] + d["balance_index_std"])
                 + 0.5,
             }
+            # does this cell actually exercise the variant machinery?
+            # (standard vs balance-dynamic BI separated beyond noise)
+            dyn = c["device_balance_dynamic"]
+            c["variant_bi_gap"] = abs(
+                d["balance_index"] - dyn["balance_index"]
+            )
+            c["variants_separate"] = bool(
+                c["variant_bi_gap"]
+                > d["balance_index_std"] + dyn["balance_index_std"]
+            )
             matrix["cells"].append(c)
             print(
                 f"p={p_edge} ratio={ratio}: nCol={n_col} "
@@ -145,6 +160,14 @@ def main():
             )
 
     ok = all(all(c["checks"].values()) for c in matrix["cells"])
+    # the matrix must contain at least one regime where the balance
+    # machinery measurably separates from the standard proposal —
+    # otherwise it validates nothing about the variants (VERDICT r3
+    # weak 5)
+    matrix["any_variant_separation"] = any(
+        c["variants_separate"] for c in matrix["cells"]
+    )
+    ok = ok and matrix["any_variant_separation"]
     matrix["all_checks_pass"] = ok
     with open(args.out, "w") as f:
         json.dump(matrix, f, indent=1)
