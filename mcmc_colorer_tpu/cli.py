@@ -343,16 +343,9 @@ def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
             from mcmc_colorer_tpu.models.chain_api import SteppedMCMC
             from mcmc_colorer_tpu.utils.dbg import DebugAttach
 
-            if params.hastings:
-                # the stepped chain runs the shipped always-accept
-                # dynamics; silently ignoring --hastings would report a
-                # different chain than requested (VERDICT r2 weak 8)
-                print(
-                    "--dbg is incompatible with --hastings: the stepped "
-                    "chain runs the always-accept dynamics.",
-                    file=sys.stderr,
-                )
-                sys.exit(2)
+            # the stepped chain carries the same gated Hastings
+            # accept/reject as the while-loop chain since round 4
+            # (chain_api._step_segment), so --dbg --hastings works
             return _DbgWrapper(
                 SteppedMCMC(
                     g, params, backend=_device_backend(args), layout=args.layout

