@@ -94,6 +94,12 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int64,
             ctypes.c_uint64,
         ]
+        lib.mc_generate_er_hash.restype = ctypes.c_void_p
+        lib.mc_generate_er_hash.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+        ]
         lib.mc_from_csr.restype = ctypes.c_void_p
         lib.mc_from_csr.argtypes = [
             ctypes.c_int64,
@@ -171,6 +177,35 @@ def generate_er(n: int, p: float, seed: int = 0, name: str | None = None) -> Gra
         row_ptr=row_ptr,
         cols=cols,
         name=name or f"er_{n}_{p}",
+    )
+
+
+def generate_er_hash(
+    n: int, threshold: int, seed: int, name: str | None = None
+) -> Graph:
+    """Host CSR of the hash-defined G(n, p) (threaded C++ enumeration;
+    see ops/hashgen.py — the device materialises the same graph from the
+    same (seed, threshold) with zero transfer)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    h = lib.mc_generate_er_hash(n, threshold, seed)
+    try:
+        nn = lib.mc_n(h)
+        nnz = lib.mc_nnz(h)
+        row_ptr = np.ctypeslib.as_array(
+            lib.mc_row_ptr(h), shape=(nn + 1,)
+        ).copy()
+        cols = np.ctypeslib.as_array(lib.mc_cols(h), shape=(max(nnz, 1),))[
+            :nnz
+        ].copy()
+    finally:
+        lib.mc_free(h)
+    return Graph(
+        n=int(nn),
+        row_ptr=row_ptr,
+        cols=cols,
+        name=name or f"er_hash_{n}",
     )
 
 

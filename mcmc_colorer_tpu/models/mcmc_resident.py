@@ -1,0 +1,258 @@
+"""Device-resident MCMC colorer for hash-defined G(n,p): zero-upload runs.
+
+``MCMCColorer`` (models/mcmc.py) assumes a host graph whose ELL rectangle
+ships to the device — at ER(100k, 0.01) that transfer alone costs
+50-124 s over this image's ~4-9 MB/s tunnel, dwarfing the 1.5 s
+adjacency build and the ~0.1 s/sweep chain (PERF.md round 4).  For
+*generated* graphs the transfer is unnecessary: ``ops/hashgen.py``
+defines the edge set as a stateless hash, the device materialises the
+bit-packed adjacency directly (~seconds, zero bytes moved), and this
+driver runs the full matmul-backend chain against it.
+
+The matmul chain (``_chain_segment_matmul``/``_sweep_matmul``) never
+reads ``ell.neighbors`` — every neighbor interaction is the
+``NC = A @ onehot(colors)`` contraction — so the ELL here is a shim
+whose neighbor rectangle is a tiny all-sentinel placeholder.  The two
+gather-using steps of the classic driver are replaced with NC-native
+equivalents:
+
+* final conflict count — one contraction (``conflicts_from_packed``);
+* tailcut — ``_tailcut_nc``: per round, the conflicted set flips coins,
+  heads with no head-neighbor (checked via one ``A & heads_bits``
+  popcount pass over the packed matrix — no neighbor lists) form an
+  independent mover set, and each mover takes its smallest NC-free
+  color.  Movers are pairwise non-adjacent and land on colors unoccupied
+  in their whole neighborhood, so the conflict count is monotone
+  non-increasing while free colors exist (the reference's tailcut goal,
+  coloringMCMC_CPU.cpp:89-97, reached by a collective route).
+
+Chain semantics (proposal family, taboo, do-while exit, trace) are
+byte-for-byte the shared matmul segment — only graph residency differs.
+Counterpart of the reference's generate-then-color flow
+(src/datasetGenerator.cpp + main.cu), fused onto the accelerator.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmc_colorer_tpu.config import MCMCParams, ProposalKind
+from mcmc_colorer_tpu.graph.container import EllGraph
+from mcmc_colorer_tpu.models.base import Coloring
+from mcmc_colorer_tpu.models.mcmc import (
+    _chain_init,
+    _chain_segment_matmul,
+    choose_block_size,
+)
+from mcmc_colorer_tpu.ops.dense_adj import neighbor_color_counts
+from mcmc_colorer_tpu.ops.hashgen import (
+    degrees_from_packed,
+    er_packed_on_device,
+)
+from mcmc_colorer_tpu.utils import rng as rngu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def conflicts_from_packed(adj, colors, n_colors, node_mask):
+    """Conflict-edge count of ``colors`` via one NC contraction:
+    Σ_i NC[i, c_i] = 2·E_conf (each conflict edge counted at both
+    endpoints)."""
+    nc = neighbor_color_counts(adj, colors, n_colors, node_mask)
+    own = jnp.take_along_axis(
+        nc, jnp.minimum(colors, nc.shape[1] - 1)[:, None], axis=1
+    )[:, 0]
+    return jnp.sum(jnp.where(node_mask, own, 0), dtype=jnp.int32) // 2
+
+
+def _pack_mask(mask, words):
+    """[n_pad] bool -> [words] uint32 in the packed_bit_coords order
+    (same reshape/shift-sum as ops/dense_adj.pack_ell_rows)."""
+    k_total = words * 32
+    m = mask.astype(jnp.uint32)
+    if k_total > m.shape[0]:
+        m = jnp.concatenate(
+            [m, jnp.zeros((k_total - m.shape[0],), jnp.uint32)]
+        )
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+    return jnp.sum(
+        m.reshape(-1, 32, 128) << shifts, axis=1, dtype=jnp.uint32
+    ).reshape(words)
+
+
+@partial(jax.jit, static_argnames=("n_colors",))
+def _tailcut_nc_round(adj, colors, key, node_mask, *, n_colors):
+    """One independent-set repair round; returns (colors, conflicts)."""
+    n_pad = colors.shape[0]
+    words = adj.shape[1]
+    nc = neighbor_color_counts(adj, colors, n_colors, node_mask)
+    n_col_pad = nc.shape[1]
+    own = jnp.take_along_axis(
+        nc, jnp.minimum(colors, n_col_pad - 1)[:, None], axis=1
+    )[:, 0]
+    conflicted = (own > 0) & node_mask
+    heads = conflicted & (
+        jax.random.uniform(key, (n_pad,), dtype=jnp.float32) < 0.5
+    )
+    head_bits = _pack_mask(heads, words)
+    nbr_heads = jnp.sum(
+        jax.lax.population_count(adj & head_bits[None, :]).astype(
+            jnp.int32
+        ),
+        axis=1,
+    )
+    movers = heads & (nbr_heads == 0)
+    col_ids = jnp.arange(n_col_pad, dtype=jnp.int32)[None, :]
+    free = (nc == 0) & (col_ids < n_colors)
+    first_free = jnp.argmax(free, axis=1).astype(jnp.int32)
+    has_free = jnp.any(free, axis=1)
+    # no free color (degree >= nCol corner): least-occupied color
+    fallback = jnp.argmin(
+        jnp.where(col_ids < n_colors, nc, jnp.int32(2**30)), axis=1
+    ).astype(jnp.int32)
+    newc = jnp.where(has_free, first_free, fallback)
+    colors = jnp.where(movers, newc, colors)
+    own2 = jnp.take_along_axis(
+        neighbor_color_counts(adj, colors, n_colors, node_mask),
+        jnp.minimum(colors, n_col_pad - 1)[:, None],
+        axis=1,
+    )[:, 0]
+    conflicts = (
+        jnp.sum(jnp.where(node_mask, own2, 0), dtype=jnp.int32) // 2
+    )
+    return colors, conflicts
+
+
+class ResidentMCMCColorer:
+    """MCMC balanced colorer over a hash-defined G(n, p) that never
+    leaves the device.  ``params.n_colors <= 0`` means "palette =
+    measured max degree" (resolved on-device)."""
+
+    def __init__(
+        self,
+        n: int,
+        p: float,
+        graph_seed: int,
+        params: MCMCParams | None = None,
+        row_chunk: int = 2048,
+    ) -> None:
+        self.n, self.p, self.graph_seed = n, p, graph_seed
+        n_pad = _round_up(n, row_chunk)
+        t0 = time.perf_counter()
+        self.adj = er_packed_on_device(n, p, graph_seed, n_pad, row_chunk)
+        degrees = degrees_from_packed(self.adj)
+        self.max_degree = int(jnp.max(degrees))  # forces generation
+        self.gen_seconds = time.perf_counter() - t0
+        self.n_edges = int(
+            np.asarray(degrees).astype(np.int64).sum() // 2
+        )
+        if params is None:
+            params = MCMCParams(
+                n_colors=self.max_degree,
+                proposal=ProposalKind.BALANCE_DYNAMIC,
+                tailcut=True,
+            )
+        elif params.n_colors <= 0:
+            params = params.replace(n_colors=self.max_degree)
+        self.params = params
+        self.block = min(
+            choose_block_size(n, params.n_colors), row_chunk
+        )
+        # neighbors is a placeholder: the matmul chain never reads it
+        # (all neighbor interaction is the NC contraction) — anything
+        # gather-based would silently see an edgeless graph, which is
+        # why this driver supplies NC-native final-count and tailcut
+        self.ell = EllGraph(
+            neighbors=jnp.full((n_pad, 8), n_pad, jnp.int32),
+            degrees=degrees,
+            n_nodes=n,
+            n_edges=self.n_edges,
+            max_degree=self.max_degree,
+        )
+        self._jit_segment = jax.jit(
+            partial(
+                _chain_segment_matmul, params=params, block=self.block
+            )
+        )
+        self._jit_init = jax.jit(
+            partial(_chain_init, params=params, fused=True)
+        )
+        self._jit_conf = jax.jit(
+            partial(conflicts_from_packed, n_colors=params.n_colors)
+        )
+
+    def host_graph(self):
+        """Host CSR of the same graph (threaded C++ hash enumeration) —
+        for validation/analysis; NOT needed to run."""
+        from mcmc_colorer_tpu.ops.hashgen import hash_er_graph
+
+        return hash_er_graph(self.n, self.p, self.graph_seed)
+
+    def run(self, seed: int, repetition: int = 0) -> Coloring:
+        from mcmc_colorer_tpu.utils.segmented import drive_segments
+
+        params = self.params
+        z = params.tailcut_threshold(self.n)
+        key = rngu.for_repetition(rngu.root_key(seed), repetition)
+        t0 = time.perf_counter()
+        carry = self._jit_init(self.ell, key)
+
+        def progress(c):
+            rip = int(c[3])
+            return rip, bool(c[6]) or rip >= params.max_iterations
+
+        carry = drive_segments(
+            lambda c, b: self._jit_segment(
+                self.ell, self.adj, c, jnp.int32(b)
+            ),
+            carry,
+            progress,
+        )
+        colors, _taboo, key, rip, conf_last, trace, done = carry
+        # converged loops already measured the final coloring in-loop; a
+        # cap exit leaves conf_last describing the pre-swap coloring
+        # (same rule as _chain_final_conflicts, NC-native here)
+        if bool(done):
+            conflicts = conf_last
+        else:
+            conflicts = self._jit_conf(
+                self.adj, colors, node_mask=self.ell.node_mask
+            )
+        tc_rounds = 0
+        if params.tailcut and int(conflicts) > 0:
+            max_rounds = 16 + 2 * int(conflicts)
+            while int(conflicts) > 0 and tc_rounds < max_rounds:
+                key, k_r = jax.random.split(key)
+                colors, conflicts = _tailcut_nc_round(
+                    self.adj,
+                    colors,
+                    k_r,
+                    self.ell.node_mask,
+                    n_colors=params.n_colors,
+                )
+                tc_rounds += 1
+        rip = int(rip)
+        conflicts = int(conflicts)
+        out = np.asarray(jax.device_get(colors))[: self.n]
+        return Coloring(
+            colors=out,
+            n_colors=params.n_colors,
+            iterations=rip,
+            converged=conflicts == 0 or conflicts <= z,
+            duration_ms=(time.perf_counter() - t0) * 1e3,
+            conflict_trace=np.asarray(trace)[: rip + 1],
+            extra={
+                "final_conflicts": conflicts,
+                "max_iter_reached": rip >= params.max_iterations,
+                "tailcut_rounds": tc_rounds,
+                "resident": True,
+                "gen_seconds": self.gen_seconds,
+            },
+        )

@@ -1,0 +1,155 @@
+"""Hash-defined G(n,p): the graph is a FUNCTION, not an upload.
+
+Round-4 finding (PERF.md "build-cost reconciliation"): at ER(100k, 0.01)
+the one-time cost of the matmul backend is not the build (1.5 s) or the
+compile (0.2 s cached) but the 465 MB ELL host→device transfer over the
+~4-9 MB/s axon tunnel (50-124 s, load-dependent).  A TPU-native answer
+for *generated* (``--simulate``) graphs: define the edge set by a
+stateless hash so both sides can materialise it independently —
+
+    edge(i, j)  :=  mix32(seed, min(i,j), max(i,j)) < floor(p·2³²)
+
+- the DEVICE evaluates the hash directly into the bit-packed adjacency
+  (``er_packed_on_device``: [n_pad, words] uint32 in the
+  ``packed_bit_coords`` order, ~10.5e9 hashes on the VPU, zero bytes
+  transferred), and
+- the HOST enumerates the same pairs in threaded C++
+  (``native/importer.cpp:mc_generate_er_hash``) for exact CSR /
+  validation — bit-identical by construction (``tests`` cross-check).
+
+The mix is the murmur3-style avalanche finalizer over uint32 lanes —
+statistically fine for benchmark graphs (each unordered pair maps to one
+well-mixed word; this is a PRNG-quality, not crypto, requirement) and
+exactly reproducible in both languages with wrapping uint32 arithmetic.
+
+The reference generates on the CPU and ships the graph to the GPU over
+PCIe (datasetGenerator.cpp + graphCPU.cpp:291-404) — cheap there,
+prohibitive over a narrow link; re-deriving on-accelerator is the
+TPU-first design.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmc_colorer_tpu.ops.dense_adj import PACKED_K_CHUNK, packed_adj_words
+
+# murmur3 fmix32 constants (public domain)
+_C1 = np.uint32(0x85EBCA6B)
+_C2 = np.uint32(0xC2B2AE35)
+_C3 = np.uint32(0x27D4EB2F)
+_GOLD = np.uint32(0x9E3779B9)
+
+
+def er_threshold(p: float) -> int:
+    """uint32 acceptance threshold for Bernoulli(p)."""
+    return min(0xFFFFFFFF, max(0, int(p * 4294967296.0)))
+
+
+def _mix(seed, i, j):
+    """Vectorized mix32(seed, i, j) on uint32 arrays (wraps mod 2^32,
+    matching C++ unsigned arithmetic)."""
+    h = seed ^ jnp.uint32(_GOLD)
+    h = (h ^ i) * jnp.uint32(_C1)
+    h = h ^ (h >> jnp.uint32(13))
+    h = (h ^ j) * jnp.uint32(_C2)
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(_C3)
+    h = h ^ (h >> jnp.uint32(15))
+    return h
+
+
+def hash_edges_reference(n: int, p: float, seed: int) -> np.ndarray:
+    """Host numpy enumeration of the hash graph's (i, j) upper-triangle
+    edges — the small-n oracle the device generator and the C++
+    enumerator are tested against."""
+    t = np.uint32(er_threshold(p))
+    i, j = np.triu_indices(n, k=1)
+    i32, j32 = i.astype(np.uint32), j.astype(np.uint32)
+    with np.errstate(over="ignore"):
+        h = np.uint32(seed) ^ _GOLD
+        h = (h ^ i32) * _C1
+        h ^= h >> np.uint32(13)
+        h = (h ^ j32) * _C2
+        h ^= h >> np.uint32(16)
+        h = h * _C3
+        h ^= h >> np.uint32(15)
+    keep = h < t
+    return np.stack([i[keep], j[keep]], axis=1)
+
+
+def er_packed_on_device(
+    n: int, p: float, seed: int, n_pad: int, row_chunk: int = 2048
+):
+    """[n_pad, words] uint32 bit-packed adjacency of the hash graph,
+    computed entirely on the default device (nothing transferred).
+
+    Bit order is ``packed_bit_coords``: within each PACKED_K_CHUNK-wide
+    window, column jl lives in word jl%128 at bit jl//128 — i.e. word
+    w (window win, lane wl=w%128) bit b holds column
+    ``win*PACKED_K_CHUNK + b*128 + wl``."""
+    if n_pad % row_chunk:
+        raise ValueError(f"row_chunk must divide n_pad ({n_pad})")
+    words = packed_adj_words(n_pad)
+    t = jnp.uint32(er_threshold(p))
+    seed32 = jnp.uint32(seed & 0xFFFFFFFF)
+
+    @partial(jax.jit, static_argnames=())
+    def gen_rows(r0):
+        rows = (
+            r0 + jax.lax.broadcasted_iota(jnp.int32, (row_chunk, words), 0)
+        ).astype(jnp.uint32)
+        w = jax.lax.broadcasted_iota(jnp.int32, (row_chunk, words), 1)
+        j_base = ((w // 128) * PACKED_K_CHUNK + w % 128).astype(jnp.uint32)
+
+        def bit(b, acc):
+            j = j_base + jnp.uint32(128) * b.astype(jnp.uint32)
+            lo = jnp.minimum(rows, j)
+            hi = jnp.maximum(rows, j)
+            edge = (
+                (_mix(seed32, lo, hi) < t)
+                & (rows != j)
+                & (j < jnp.uint32(n))
+                & (rows < jnp.uint32(n))
+            )
+            return acc | (edge.astype(jnp.uint32) << b.astype(jnp.uint32))
+
+        return jax.lax.fori_loop(
+            0, 32, bit, jnp.zeros((row_chunk, words), jnp.uint32)
+        )
+
+    chunks = [gen_rows(jnp.int32(r0)) for r0 in range(0, n_pad, row_chunk)]
+    return jnp.concatenate(chunks, axis=0)
+
+
+def degrees_from_packed(adj) -> jnp.ndarray:
+    """Per-row popcount of the packed adjacency (device pass)."""
+    return jax.jit(
+        lambda a: jnp.sum(
+            jax.lax.population_count(a).astype(jnp.int32), axis=1
+        )
+    )(adj)
+
+
+def hash_er_graph(n: int, p: float, seed: int, name: str | None = None):
+    """Host CSR of the SAME hash graph via the threaded C++ enumerator
+    (falls back to the numpy oracle for small n) — for validation,
+    analysis, and the log contract.  O(n²) hashes host-side; intended
+    for n up to a few hundred thousand."""
+    from mcmc_colorer_tpu.graph import native
+    from mcmc_colorer_tpu.graph.container import Graph
+
+    nm = name or f"er_hash_{n}_{p}"
+    if native.available():
+        g = native.generate_er_hash(
+            n, er_threshold(p), seed & 0xFFFFFFFF, name=nm
+        )
+    else:
+        e = hash_edges_reference(n, p, seed)
+        g = Graph.from_edges(n, e[:, 0], e[:, 1], name=nm)
+    g.simple_certified = True
+    return g

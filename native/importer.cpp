@@ -16,6 +16,7 @@
 #include <cstring>
 #include <random>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -299,6 +300,62 @@ void* mc_generate_er(int64_t n, double p, uint64_t seed) {
       src.push_back(static_cast<int32_t>(i));
       dst.push_back(static_cast<int32_t>(j));
     }
+  }
+  build_csr(h, src, dst);
+  return h;
+}
+
+// Hash-defined G(n, p): edge(i, j) iff mix32(seed, i, j) < threshold,
+// with mix32 the murmur3-style avalanche finalizer over uint32 lanes.
+// The TPU evaluates the SAME function directly into its bit-packed
+// adjacency (ops/hashgen.py:er_packed_on_device) so the graph never
+// crosses the host<->device link; this enumerator materialises the host
+// CSR for validation/analysis.  Threaded over row ranges (O(n^2) hash
+// evaluations; ~1-2 s at n=100k on this image).
+static inline uint32_t mc_mix32(uint32_t seed, uint32_t i, uint32_t j) {
+  uint32_t h = seed ^ 0x9E3779B9u;
+  h = (h ^ i) * 0x85EBCA6Bu;
+  h ^= h >> 13;
+  h = (h ^ j) * 0xC2B2AE35u;
+  h ^= h >> 16;
+  h *= 0x27D4EB2Fu;
+  h ^= h >> 15;
+  return h;
+}
+
+void* mc_generate_er_hash(int64_t n, uint32_t threshold, uint32_t seed) {
+  auto* h = new GraphHandle();
+  h->n = n;
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt == 0) nt = 4;
+  if (static_cast<int64_t>(nt) > n) nt = static_cast<unsigned>(n);
+  std::vector<std::vector<int32_t>> tsrc(nt), tdst(nt);
+  auto worker = [&](unsigned t) {
+    auto& s = tsrc[t];
+    auto& d = tdst[t];
+    // strided rows balance the triangular work across threads
+    for (int64_t i = static_cast<int64_t>(t); i < n;
+         i += static_cast<int64_t>(nt)) {
+      const uint32_t iu = static_cast<uint32_t>(i);
+      for (int64_t j = i + 1; j < n; ++j) {
+        if (mc_mix32(seed, iu, static_cast<uint32_t>(j)) < threshold) {
+          s.push_back(static_cast<int32_t>(i));
+          d.push_back(static_cast<int32_t>(j));
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (unsigned t = 0; t < nt; ++t) threads.emplace_back(worker, t);
+  for (auto& th : threads) th.join();
+  std::vector<int32_t> src, dst;
+  size_t total = 0;
+  for (auto& v : tsrc) total += v.size();
+  src.reserve(total);
+  dst.reserve(total);
+  for (unsigned t = 0; t < nt; ++t) {
+    src.insert(src.end(), tsrc[t].begin(), tsrc[t].end());
+    dst.insert(dst.end(), tdst[t].begin(), tdst[t].end());
   }
   build_csr(h, src, dst);
   return h;

@@ -1,0 +1,115 @@
+"""Device-resident hash-graph pipeline (ops/hashgen, models/mcmc_resident).
+
+The hash graph exists in three independent renditions — numpy oracle,
+threaded C++ enumerator, device bit-packed generator — which must agree
+bit-for-bit; the resident colorer must produce valid colorings checked
+against the HOST rendition (an end-to-end proof that the device ran the
+same graph it never received)."""
+
+import numpy as np
+import pytest
+
+from mcmc_colorer_tpu.config import MCMCParams, ProposalKind
+from mcmc_colorer_tpu.models.base import check_coloring
+from mcmc_colorer_tpu.models.mcmc_resident import (
+    ResidentMCMCColorer,
+    conflicts_from_packed,
+)
+from mcmc_colorer_tpu.ops import hashgen
+
+
+def _unpack_cols(adj, n_pad):
+    """Unpack [n_pad, words] packed bits to a dense bool [n_pad, k_total]
+    using the packed_bit_coords order."""
+    words = adj.shape[1]
+    k_total = words * 32
+    dense = np.zeros((adj.shape[0], k_total), bool)
+    a = np.asarray(adj)
+    for b in range(32):
+        bits = ((a >> np.uint32(b)) & 1).astype(bool)
+        w = np.arange(words)
+        cols = (w // 128) * 4096 + b * 128 + (w % 128)
+        dense[:, cols] |= bits
+    return dense
+
+
+def test_hash_three_way_agreement():
+    n, p, seed = 700, 0.03, 13
+    e_ref = hashgen.hash_edges_reference(n, p, seed)
+    # C++ enumerator (skips gracefully when the native lib is absent)
+    from mcmc_colorer_tpu.graph import native
+
+    if native.available():
+        g = native.generate_er_hash(n, hashgen.er_threshold(p), seed)
+        u = np.repeat(np.arange(g.n), g.degrees)
+        v = g.cols
+        mask = u < v
+        e_cpp = np.stack([u[mask], v[mask]], axis=1)
+        e_cpp = e_cpp[np.lexsort((e_cpp[:, 1], e_cpp[:, 0]))]
+        assert np.array_equal(e_ref, e_cpp)
+    # device packed generator
+    n_pad = 768
+    adj = hashgen.er_packed_on_device(n, p, seed, n_pad, row_chunk=256)
+    dense = _unpack_cols(adj, n_pad)
+    got = np.argwhere(np.triu(dense[:n, :n], k=1))
+    got = got[np.lexsort((got[:, 1], got[:, 0]))]
+    assert np.array_equal(got, e_ref)
+    # nothing outside the real vertex square
+    assert dense[:, n:].sum() == 0 and dense[n:, :].sum() == 0
+    # degrees/popcounts agree with the edge set
+    deg = np.asarray(hashgen.degrees_from_packed(adj))
+    assert deg.astype(np.int64).sum() == 2 * e_ref.shape[0]
+
+
+def test_hash_er_graph_matches_oracle():
+    g = hashgen.hash_er_graph(300, 0.05, 5)
+    e_ref = hashgen.hash_edges_reference(300, 0.05, 5)
+    assert g.n_edges == e_ref.shape[0]
+    assert getattr(g, "simple_certified", False)
+
+
+def test_conflicts_from_packed_matches_gather():
+    import jax.numpy as jnp
+
+    from mcmc_colorer_tpu.models.mcmc import _conflict_edges
+
+    n, p, seed = 500, 0.05, 7
+    g = hashgen.hash_er_graph(n, p, seed)
+    ell = g.to_ell(pad_nodes_to=512)
+    adj = hashgen.er_packed_on_device(n, p, seed, ell.n_pad, row_chunk=256)
+    rng = np.random.default_rng(0)
+    colors = jnp.where(
+        ell.node_mask,
+        jnp.asarray(rng.integers(0, 7, ell.n_pad).astype(np.int32)),
+        jnp.int32(7),
+    )
+    c_nc = int(conflicts_from_packed(adj, colors, 7, ell.node_mask))
+    c_gather = int(_conflict_edges(ell, colors))
+    assert c_nc == c_gather > 0
+
+
+def test_resident_colorer_valid_vs_host_graph():
+    c = ResidentMCMCColorer(1200, 0.04, graph_seed=21)
+    r = c.run(seed=3)
+    g = c.host_graph()
+    assert g.n_edges == c.n_edges and g.max_degree == c.max_degree
+    assert r.extra["final_conflicts"] == 0
+    assert r.extra["resident"] is True
+    assert check_coloring(g, r.colors)
+
+
+def test_resident_tailcut_tight_palette():
+    """A palette at maxdeg/2 leaves real work for the NC tailcut; the
+    independent-set repair must still end conflict-free and valid."""
+    c0 = ResidentMCMCColorer(1200, 0.04, graph_seed=21)
+    p = MCMCParams(
+        n_colors=max(4, c0.max_degree // 2),
+        proposal=ProposalKind.BALANCE_DYNAMIC,
+        tailcut=True,
+        max_iterations=60,
+    )
+    c = ResidentMCMCColorer(1200, 0.04, graph_seed=21, params=p)
+    r = c.run(seed=5)
+    assert r.extra["final_conflicts"] == 0
+    assert r.extra["tailcut_rounds"] >= 1
+    assert check_coloring(c.host_graph(), r.colors)
