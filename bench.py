@@ -18,12 +18,17 @@ Prints ONE JSON line:
              (native/importer.cpp:mc_mcmc_seq), timed over a >=2 s window
              (>=20 sweeps) so the denominator is stable to a few percent
              (VERDICT r3 weak 2 — the old 3-sweep 0.08 s window swung 50%).
-``time_to_solution_s`` — honest end-to-end: one-time adjacency build +
+``time_to_solution_s`` — honest end-to-end: graph materialisation +
              full converged MCMC chain + tailcut to a VALID coloring
-             (checked host-side), at the same bench config.  Build phases
-             (remote-jit compile vs scatter execute vs nnz check) are
-             reported separately so the committed artifact is
-             self-explaining (VERDICT r3 item 1a).
+             (checked host-side, outside the timed region).
+
+Round 4: the bench graph is HASH-DEFINED (ops/hashgen.py) — the device
+materialises the bit-packed adjacency itself (``gen_s``, zero bytes
+uploaded) instead of receiving a 465 MB ELL over the ~4-9 MB/s tunnel
+(50-124 s in round 3's committed artifact; the full decomposition of
+that legacy path lives in PERF.md "build-cost reconciliation").
+Validation re-derives the identical graph host-side (threaded C++ hash
+enumeration) and checks the coloring against real edges.
 
 Run: python bench.py          (uses the default device — the real TPU chip)
 """
@@ -43,71 +48,77 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _steady_rate(run_k, args, n, iters):
+    """Time run_k(*args) through a host readback, with the null-roundtrip
+    latency measured separately and subtracted (on the axon tunnel
+    `block_until_ready` does NOT synchronize; only a readback does)."""
+    t0 = time.perf_counter()
+    o = run_k(*args)
+    tail = np.asarray(o[2])  # forces execution
+    compile_and_run = time.perf_counter() - t0
+
+    null = jax.jit(lambda: jnp.zeros(()))
+    float(null())
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(null())
+    roundtrip = (time.perf_counter() - t0) / 3
+
+    t0 = time.perf_counter()
+    o = run_k(*args)
+    tail = np.asarray(o[2])
+    steady = max(1e-9, (time.perf_counter() - t0) - roundtrip)
+    log(
+        f"tpu: {iters} sweeps in {steady*1e3:.1f}ms "
+        f"(roundtrip correction {roundtrip*1e3:.1f}ms; first call incl. "
+        f"compile {compile_and_run:.1f}s); conflict tail {tail[-3:].tolist()}"
+    )
+    return n * iters / steady
+
+
 def tpu_bench(n=100_000, p=0.01, iters=20, seed=0) -> dict:
     """Steady-state sweep rate + end-to-end time-to-solution at the
-    bench config.  Returns a dict of measurements."""
+    bench config, over the device-resident hash graph."""
     from mcmc_colorer_tpu.config import MCMCParams, ProposalKind
-    from mcmc_colorer_tpu.graph.generate import erdos_renyi
     from mcmc_colorer_tpu.models.base import check_coloring
     from mcmc_colorer_tpu.models.mcmc import (
-        MCMCColorer,
-        _conflict_edges,
-        _sweep,
         _sweep_matmul,
-        _sweep_pallas_fused,
         _variant_distribution,
-        choose_block_size,
+        color_histogram,
     )
-    from mcmc_colorer_tpu.ops.dense_adj import dense_adj_ok
-    from mcmc_colorer_tpu.ops.neighbor import color_histogram
+    from mcmc_colorer_tpu.models.mcmc_resident import ResidentMCMCColorer
 
     out: dict = {}
     t0 = time.perf_counter()
-    g = erdos_renyi(n, p, seed=seed)
-    log(
-        f"graph: n={g.n} m={g.n_edges} maxdeg={g.max_degree} "
-        f"({time.perf_counter()-t0:.1f}s to generate)"
+    colorer = ResidentMCMCColorer(
+        n,
+        p,
+        graph_seed=seed,
+        params=MCMCParams(
+            n_colors=0,  # palette = measured max degree (on-device)
+            proposal=ProposalKind.BALANCE_DYNAMIC,
+            tailcut=True,
+        ),
     )
-    params = MCMCParams(
-        n_colors=g.max_degree, proposal=ProposalKind.BALANCE_DYNAMIC
+    params, ell, adj, block = (
+        colorer.params, colorer.ell, colorer.adj, colorer.block,
     )
-    block = choose_block_size(g.n, params.n_colors)
-    ell = g.to_ell(pad_nodes_to=block)
     n_pad = ell.n_pad
+    out["build"] = {
+        "gen_s": round(colorer.gen_seconds, 2),
+        "upload_s": 0.0,  # hash-defined: nothing crosses the tunnel
+        "total_s": round(time.perf_counter() - t0, 2),
+    }
+    log(
+        f"resident graph: n={colorer.n} m={colorer.n_edges} "
+        f"maxdeg={colorer.max_degree} — packed adjacency materialised "
+        f"ON device in {colorer.gen_seconds:.1f}s "
+        f"({adj.size * 4 / 1e9:.2f} GB, zero bytes uploaded)"
+    )
 
-    on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if on_tpu and dense_adj_ok(n_pad, g.mean_degree):
-        backend = "matmul"  # bit-packed A @ onehot on the MXU (round 3)
-    elif on_tpu:
-        backend = "pallas"
-    else:
-        backend = "xla"
-    log(f"sweep backend: {backend}")
-
-    adj = None
-    if backend == "matmul":
-        from mcmc_colorer_tpu.ops.dense_adj import get_adjacency
-
-        t0 = time.perf_counter()
-        # packed layout: hardware-validated faster than dense (121 vs
-        # 133 ms/iter at this config) at 8x less HBM (PERF.md round 3)
-        build_stats: dict = {}
-        adj = get_adjacency(g, n_pad, "packed", ell, stats=build_stats)
-        np.asarray(adj[:1, :1])
-        for k in ("upload_s", "compile_s", "scatter_s", "check_s"):
-            build_stats.setdefault(k, 0.0)
-        build_stats["total_s"] = time.perf_counter() - t0
-        out["build"] = {k: round(v, 2) if isinstance(v, float) else v
-                        for k, v in build_stats.items()}
-        log(
-            f"packed adjacency ready in {build_stats['total_s']:.1f}s "
-            f"(ELL upload over the tunnel {build_stats['upload_s']:.1f}s "
-            f"+ jit compile {build_stats['compile_s']:.1f}s + scatter "
-            f"{build_stats['scatter_s']:.1f}s + nnz check "
-            f"{build_stats['check_s']:.1f}s; "
-            f"{adj.size * 4 / 1e9:.2f} GB, one-time per graph)"
-        )
-
+    # NB: ell/adj must be ARGUMENTS, not closure captures — a closed-over
+    # device array is baked into the program as a constant, and the
+    # 1.26 GB packed A blows the remote-compile request limit (HTTP 413)
     @jax.jit
     def run_k(ell, adj, colors, taboo, key):
         def body(carry, it):
@@ -116,19 +127,9 @@ def tpu_bench(n=100_000, p=0.01, iters=20, seed=0) -> dict:
             unif = jax.random.uniform(ku, (n_pad,), dtype=jnp.float32)
             hist = color_histogram(colors, params.n_colors, ell.node_mask)
             p_eff = _variant_distribution(params, hist, ell.n_nodes)
-            if backend == "matmul":
-                star, taboo, _, conf, _nc = _sweep_matmul(
-                    ell, adj, params, block, colors, taboo, unif, p_eff
-                )
-            elif backend == "pallas":
-                star, taboo, _, conf = _sweep_pallas_fused(
-                    ell, params, block, colors, taboo, unif, p_eff
-                )
-            else:
-                star, taboo, _ = _sweep(
-                    ell, params, block, colors, taboo, unif, p_eff
-                )
-                conf = _conflict_edges(ell, star)
+            star, taboo, _, conf, _nc = _sweep_matmul(
+                ell, adj, params, block, colors, taboo, unif, p_eff
+            )
             return (star, taboo, key), conf
 
         (colors, taboo, key), confl = jax.lax.scan(
@@ -143,61 +144,38 @@ def tpu_bench(n=100_000, p=0.01, iters=20, seed=0) -> dict:
         jnp.int32(params.n_colors),
     )
     taboo = jnp.zeros((n_pad,), jnp.int32)
-
-    # NOTE: on the axon TPU tunnel `block_until_ready` does not actually
-    # synchronize; only a host readback does.  Timing therefore always
-    # flows through a small D2H readback, with the null roundtrip latency
-    # measured separately and subtracted.
-    t0 = time.perf_counter()
-    o = run_k(ell, adj, colors, taboo, key)
-    tail = np.asarray(o[2])  # forces execution
-    compile_and_run = time.perf_counter() - t0
-
-    null = jax.jit(lambda: jnp.zeros(()))
-    float(null())
-    t0 = time.perf_counter()
-    for _ in range(3):
-        float(null())
-    roundtrip = (time.perf_counter() - t0) / 3
-
-    t0 = time.perf_counter()
-    o = run_k(ell, adj, colors, taboo, key)
-    tail = np.asarray(o[2])
-    steady = max(1e-9, (time.perf_counter() - t0) - roundtrip)
-    log(
-        f"tpu: {iters} sweeps in {steady*1e3:.1f}ms "
-        f"(roundtrip correction {roundtrip*1e3:.1f}ms; first call incl. "
-        f"compile {compile_and_run:.1f}s); conflict tail {tail[-3:].tolist()}"
+    out["updates_per_s"] = _steady_rate(
+        run_k, (ell, adj, colors, taboo, key), colorer.n, iters
     )
-    out["updates_per_s"] = g.n * iters / steady
 
     # ---- time-to-solution: full chain + tailcut to a valid coloring ----
-    # The colorer reuses the cached adjacency (same graph/n_pad), so the
-    # run wall excludes the one-time build; report build + run + total so
-    # the composition is explicit (VERDICT r3 item 2).
-    tts_params = params.replace(tailcut=True)
     t0 = time.perf_counter()
-    colorer = MCMCColorer(g, tts_params, backend="packed" if on_tpu else "xla")
     r = colorer.run(seed=5)
     run_s = time.perf_counter() - t0
+    # verification (outside the timed region): re-derive the identical
+    # graph host-side and check against real edges
+    t0 = time.perf_counter()
+    g = colorer.host_graph()
+    derive_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     valid = check_coloring(g, r.colors)
     check_s = time.perf_counter() - t0
-    build_s = out.get("build", {}).get("total_s", 0.0)
+    gen_s = out["build"]["gen_s"]
     out["tts"] = {
         "run_s": round(run_s, 2),
-        "build_s": round(build_s, 2),
-        "total_s": round(run_s + build_s, 2),
+        "build_s": round(gen_s, 2),
+        "total_s": round(run_s + gen_s, 2),
         "iterations": r.iterations,
         "tailcut_rounds": r.extra["tailcut_rounds"],
         "final_conflicts": r.extra["final_conflicts"],
         "valid": bool(valid),
     }
     log(
-        f"time-to-solution: {run_s + build_s:.1f}s "
-        f"(build {build_s:.1f}s + chain/tailcut {run_s:.1f}s), "
+        f"time-to-solution: {run_s + gen_s:.1f}s "
+        f"(device graph gen {gen_s:.1f}s + chain/tailcut {run_s:.1f}s), "
         f"{r.iterations} iterations + {r.extra['tailcut_rounds']} tailcut "
-        f"rounds, valid={valid} (host check {check_s:.1f}s)"
+        f"rounds, valid={valid} (host re-derivation {derive_s:.1f}s + "
+        f"check {check_s:.1f}s, outside TTS)"
     )
     return out
 
@@ -263,12 +241,10 @@ def main():
         "baseline_updates_per_s": round(cpu_rate),
         "time_to_solution_s": tpu["tts"]["total_s"],
         "tts_valid": tpu["tts"]["valid"],
+        "graph_gen_s": tpu["build"]["gen_s"],
+        "ell_upload_s": tpu["build"]["upload_s"],
+        "build_total_s": tpu["build"]["total_s"],
     }
-    if "build" in tpu:
-        rec["ell_upload_s"] = tpu["build"]["upload_s"]
-        rec["build_compile_s"] = tpu["build"]["compile_s"]
-        rec["build_scatter_s"] = tpu["build"]["scatter_s"]
-        rec["build_total_s"] = tpu["build"]["total_s"]
     print(json.dumps(rec))
 
 

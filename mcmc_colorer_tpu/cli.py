@@ -170,6 +170,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--anneal", action="store_true", help="pooled epsilon annealing"
     )
     tpu.add_argument(
+        "--resident",
+        action="store_true",
+        help="with --simulate: define the ER graph as a stateless hash "
+        "and materialise the bit-packed adjacency ON the device (zero "
+        "bytes uploaded; models/mcmc_resident.py).  Full-sweep --mcmcgpu "
+        "only; --check re-derives the identical graph host-side",
+    )
+    tpu.add_argument(
         "--active",
         action="store_true",
         help="active-set / frontier mode: MCMC resamples only the conflict "
@@ -247,6 +255,45 @@ def _device_backend(args) -> str:
         )
         return "auto"
     return args.backend
+
+
+def _check_resident_args(args) -> None:
+    """--resident is the zero-upload hash-graph path: full-sweep
+    --mcmcgpu over a --simulate graph only (single chain or a vmapped
+    --chains ensemble)."""
+    if args.graph or args.simulate is None:
+        print("--resident requires --simulate (it IS the generator).",
+              file=sys.stderr)
+        sys.exit(2)
+    others = (
+        args.mcmccpu or args.lubygpu or args.grdffgpu or args.vffgpu
+        or args.greedycpu or not args.mcmcgpu
+    )
+    if others:
+        print(
+            "--resident runs the full-sweep parallel MCMC only: select "
+            "exactly --mcmcgpu (other colorers gather neighbor lists, "
+            "which the resident graph never materialises).",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    for flag, on in (
+        ("--dbg", args.dbg),
+        ("--active", args.active),
+        ("--anneal", args.anneal),
+        ("--mesh-chains/--mesh-shards",
+         bool(args.mesh_chains or args.mesh_shards)),
+    ):
+        if on:
+            print(f"--resident is incompatible with {flag}.",
+                  file=sys.stderr)
+            sys.exit(2)
+    if args.backend not in ("auto", "matmul", "packed"):
+        print(
+            f"--resident implies the packed-MXU backend; ignoring "
+            f"--backend {args.backend}.",
+            file=sys.stderr,
+        )
 
 
 def _make_colorer(kind: ColorerKind, g: Graph, args, params: MCMCParams):
@@ -451,16 +498,54 @@ def main(argv=None) -> int:
     # (the reference seeds once, ArgHandle.cpp:272-276; previously two
     # independent time() calls could disagree — VERDICT r1)
     seed = args.seed if args.seed is not None else int(time.time())
-    g, prob = _load_graph(args, seed)
     ratio = min(16.0, max(1.0, args.num_col_ratio))
-    n_col = args.n_col or default_n_colors(g.max_degree, ratio)
-    params = MCMCParams(
-        n_colors=n_col,
-        taboo_iterations=args.taboo_iterations,
-        tailcut=args.tailcut,
-        proposal=ProposalKind(args.proposal),
-        hastings=args.hastings,
-    )
+    resident = None
+    if args.resident:
+        _check_resident_args(args)
+        if not (0.0 < args.simulate < 1.0) or args.nodes <= 0:
+            print("Simulation: need 0 < P < 1 and -n N > 0.",
+                  file=sys.stderr)
+            sys.exit(2)
+        from mcmc_colorer_tpu.models.mcmc_resident import (
+            ResidentMCMCColorer,
+        )
+
+        resident = ResidentMCMCColorer(
+            args.nodes,
+            args.simulate,
+            graph_seed=seed,
+            params=MCMCParams(
+                n_colors=args.n_col or 0,
+                taboo_iterations=args.taboo_iterations,
+                tailcut=args.tailcut,
+                proposal=ProposalKind(args.proposal),
+                hastings=args.hastings,
+            ),
+            num_col_ratio=ratio,
+            n_chains=max(1, args.chains),
+        )
+        if not args.quiet:
+            print(
+                f"Resident graph materialised on device in "
+                f"{resident.gen_seconds:.1f}s (zero bytes uploaded)."
+            )
+        # --check re-derives the identical graph host-side (threaded C++
+        # hash enumeration) so validation runs against real edges; plain
+        # runs use the cheap stats view
+        g = resident.host_graph() if args.check else resident.stats_graph()
+        prob = args.simulate
+        params = resident.params
+        n_col = params.n_colors
+    else:
+        g, prob = _load_graph(args, seed)
+        n_col = args.n_col or default_n_colors(g.max_degree, ratio)
+        params = MCMCParams(
+            n_colors=n_col,
+            taboo_iterations=args.taboo_iterations,
+            tailcut=args.tailcut,
+            proposal=ProposalKind(args.proposal),
+            hastings=args.hastings,
+        )
     graph_name = (
         g.name
         if args.graph
@@ -476,7 +561,11 @@ def main(argv=None) -> int:
 
     rc = 0
     for kind in _algos(args):
-        colorer = _make_colorer(kind, g, args, params)
+        colorer = (
+            resident
+            if resident is not None and kind == ColorerKind.MCMC
+            else _make_colorer(kind, g, args, params)
+        )
         tag = _ALGO_TAG[kind]
         for rep in range(args.repet):
             result = colorer.run(seed, repetition=rep)

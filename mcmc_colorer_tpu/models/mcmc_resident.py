@@ -130,10 +130,27 @@ def _tailcut_nc_round(adj, colors, key, node_mask, *, n_colors):
     return colors, conflicts
 
 
+class _StatsShim:
+    """Graph-shaped stats carrier for the log contract
+    (``format_run_stats`` reads n / n_edges / degrees / max_degree /
+    mean_degree) — NOT an adjacency; ``check_coloring`` needs the real
+    host rendition (``ResidentMCMCColorer.host_graph``)."""
+
+    def __init__(self, n, n_edges, degrees, max_degree, name):
+        self.n, self.n_edges = n, n_edges
+        self.degrees, self.max_degree = degrees, max_degree
+        self.name = name
+
+    @property
+    def mean_degree(self) -> float:
+        return float(self.degrees.mean()) if self.n else 0.0
+
+
 class ResidentMCMCColorer:
     """MCMC balanced colorer over a hash-defined G(n, p) that never
     leaves the device.  ``params.n_colors <= 0`` means "palette =
-    measured max degree" (resolved on-device)."""
+    measured max degree / num_col_ratio" (resolved on-device, the CLI's
+    default_n_colors rule)."""
 
     def __init__(
         self,
@@ -142,25 +159,45 @@ class ResidentMCMCColorer:
         graph_seed: int,
         params: MCMCParams | None = None,
         row_chunk: int = 2048,
+        num_col_ratio: float = 1.0,
+        n_chains: int = 1,
     ) -> None:
+        from mcmc_colorer_tpu.ops.dense_adj import (
+            PACKED_ADJ_MAX_N,
+            packed_adj_bytes,
+        )
+
         self.n, self.p, self.graph_seed = n, p, graph_seed
         n_pad = _round_up(n, row_chunk)
+        if n_pad > PACKED_ADJ_MAX_N:
+            raise ValueError(
+                f"resident graphs are bound to the packed-adjacency HBM "
+                f"cap: n_pad={n_pad} > {PACKED_ADJ_MAX_N} "
+                f"({packed_adj_bytes(n_pad) / 1e9:.1f} GB of A bits). "
+                f"Larger graphs take the host/gather or sharded-strip "
+                f"paths (models/mcmc.py, parallel/sharded.py)."
+            )
         t0 = time.perf_counter()
         self.adj = er_packed_on_device(n, p, graph_seed, n_pad, row_chunk)
         degrees = degrees_from_packed(self.adj)
         self.max_degree = int(jnp.max(degrees))  # forces generation
         self.gen_seconds = time.perf_counter() - t0
+        self.host_degrees = np.asarray(degrees)[:n]
         self.n_edges = int(
-            np.asarray(degrees).astype(np.int64).sum() // 2
+            self.host_degrees.astype(np.int64).sum() // 2
         )
-        if params is None:
-            params = MCMCParams(
-                n_colors=self.max_degree,
-                proposal=ProposalKind.BALANCE_DYNAMIC,
-                tailcut=True,
-            )
-        elif params.n_colors <= 0:
-            params = params.replace(n_colors=self.max_degree)
+        if params is None or params.n_colors <= 0:
+            from mcmc_colorer_tpu.config import default_n_colors
+
+            n_col = default_n_colors(self.max_degree, num_col_ratio)
+            if params is None:
+                params = MCMCParams(
+                    n_colors=n_col,
+                    proposal=ProposalKind.BALANCE_DYNAMIC,
+                    tailcut=True,
+                )
+            else:
+                params = params.replace(n_colors=n_col)
         self.params = params
         self.block = min(
             choose_block_size(n, params.n_colors), row_chunk
@@ -187,15 +224,71 @@ class ResidentMCMCColorer:
         self._jit_conf = jax.jit(
             partial(conflicts_from_packed, n_colors=params.n_colors)
         )
+        # ensemble mode: vmapped lock-step chains over the ONE resident
+        # adjacency (the reference's repeated-run flow, main.cu:171-189,
+        # batched; best-of-chains selection like parallel/chains.py)
+        self.n_chains = n_chains
+        if n_chains > 1:
+            self._jit_segment_v = jax.jit(
+                jax.vmap(
+                    partial(
+                        _chain_segment_matmul,
+                        params=params,
+                        block=self.block,
+                    ),
+                    in_axes=(None, None, 0, None),
+                )
+            )
+            self._jit_init_v = jax.jit(
+                jax.vmap(
+                    partial(_chain_init, params=params, fused=True),
+                    in_axes=(None, 0),
+                )
+            )
+            self._jit_conf_v = jax.jit(
+                jax.vmap(
+                    lambda a, c, m: conflicts_from_packed(
+                        a, c, params.n_colors, m
+                    ),
+                    in_axes=(None, 0, None),
+                )
+            )
+            self._jit_tc_v = jax.jit(
+                jax.vmap(
+                    partial(
+                        _tailcut_nc_round.__wrapped__,
+                        n_colors=params.n_colors,
+                    ),
+                    in_axes=(None, 0, 0, None),
+                )
+            )
+
+    @property
+    def name(self) -> str:
+        return f"er_hash_{self.n}_{self.p}"
+
+    def stats_graph(self) -> _StatsShim:
+        """Cheap graph-stats view (n / m / degrees, no adjacency) for
+        run logs; use :meth:`host_graph` when the edges themselves are
+        needed (``--check``)."""
+        return _StatsShim(
+            self.n, self.n_edges, self.host_degrees, self.max_degree,
+            self.name,
+        )
 
     def host_graph(self):
         """Host CSR of the same graph (threaded C++ hash enumeration) —
         for validation/analysis; NOT needed to run."""
         from mcmc_colorer_tpu.ops.hashgen import hash_er_graph
 
-        return hash_er_graph(self.n, self.p, self.graph_seed)
+        return hash_er_graph(self.n, self.p, self.graph_seed, name=self.name)
 
     def run(self, seed: int, repetition: int = 0) -> Coloring:
+        if self.n_chains > 1:
+            best, self.last_summaries = self.run_ensemble(
+                seed, repetition
+            )
+            return best
         from mcmc_colorer_tpu.utils.segmented import drive_segments
 
         params = self.params
@@ -256,3 +349,99 @@ class ResidentMCMCColorer:
                 "gen_seconds": self.gen_seconds,
             },
         )
+
+    def run_ensemble(self, seed: int, repetition: int = 0):
+        """Lock-step ``n_chains`` independent chains over the shared
+        resident adjacency; returns (best Coloring, summaries) with the
+        same best-of-chains rule as ``parallel/chains.py`` (fewest
+        conflicts, then smallest class-size std)."""
+        from mcmc_colorer_tpu.utils.segmented import drive_segments
+
+        params = self.params
+        z = params.tailcut_threshold(self.n)
+        root = rngu.for_repetition(rngu.root_key(seed), repetition)
+        keys = jax.vmap(lambda c: rngu.for_chain(root, c))(
+            jnp.arange(self.n_chains, dtype=jnp.uint32)
+        )
+        t0 = time.perf_counter()
+        carry = self._jit_init_v(self.ell, keys)
+
+        def progress(c):
+            rips_h = np.asarray(c[3])
+            active = ~np.asarray(c[6]) & (rips_h < params.max_iterations)
+            return int(rips_h.max()), not active.any()
+
+        carry = drive_segments(
+            lambda c, b: self._jit_segment_v(
+                self.ell, self.adj, c, jnp.int32(b)
+            ),
+            carry,
+            progress,
+        )
+        colors, _taboo, keyv, rips, _conf_last, traces, _done = carry
+        # one batched NC pass gives every chain's exact conflict count
+        # (conf_last is stale for cap-exited chains, same as the fused
+        # carry in parallel/chains.py)
+        conflicts = self._jit_conf_v(
+            self.adj, colors, self.ell.node_mask
+        )
+        tc_rounds = 0
+        if params.tailcut and int(np.asarray(conflicts).max()) > 0:
+            max_rounds = 16 + 2 * int(np.asarray(conflicts).max())
+            while (
+                int(np.asarray(conflicts).max()) > 0
+                and tc_rounds < max_rounds
+            ):
+                ks = jax.vmap(
+                    lambda k: jax.random.split(k)
+                )(keyv)
+                keyv, k_r = ks[:, 0], ks[:, 1]
+                # repair rounds are no-ops on conflict-free chains
+                # (empty conflicted set => empty mover set)
+                colors, conflicts = self._jit_tc_v(
+                    self.adj, colors, k_r, self.ell.node_mask
+                )
+                tc_rounds += 1
+        colors_h = np.asarray(jax.device_get(colors))[:, : self.n]
+        conflicts_h = np.asarray(conflicts)
+        rips_h = np.asarray(rips)
+        dur = (time.perf_counter() - t0) * 1e3
+        stds = np.array(
+            [
+                np.bincount(c, minlength=params.n_colors).std()
+                for c in colors_h
+            ]
+        )
+        order = np.lexsort((stds, conflicts_h))
+        best = int(order[0])
+        summaries = [
+            {
+                "chain": int(i),
+                "iterations": int(rips_h[i]),
+                "conflicts": int(conflicts_h[i]),
+                "class_std": float(stds[i]),
+            }
+            for i in range(self.n_chains)
+        ]
+        best_coloring = Coloring(
+            colors=colors_h[best],
+            n_colors=params.n_colors,
+            iterations=int(rips_h[best]),
+            converged=int(conflicts_h[best]) <= z,
+            duration_ms=dur,
+            conflict_trace=np.asarray(traces[best])[
+                : int(rips_h[best]) + 1
+            ],
+            extra={
+                "final_conflicts": int(conflicts_h[best]),
+                "max_iter_reached": bool(
+                    rips_h[best] >= params.max_iterations
+                ),
+                "tailcut_rounds": tc_rounds,
+                "resident": True,
+                "gen_seconds": self.gen_seconds,
+                "best_chain": best,
+                "chains": self.n_chains,
+            },
+        )
+        return best_coloring, summaries

@@ -23,9 +23,13 @@ def enable(path: str | None = None) -> str | None:
     actually used, or None when unavailable."""
     import jax
 
-    path = path or os.environ.get(
-        "MCMC_COLORER_COMPILE_CACHE", _DEFAULT_DIR
-    )
+    if path is None:
+        path = os.environ.get("MCMC_COLORER_COMPILE_CACHE", _DEFAULT_DIR)
+        # the env var doubles as the on/off gate (documented usage is
+        # MCMC_COLORER_COMPILE_CACHE=1): boolean-ish values mean "use
+        # the default dir", anything else is an explicit path
+        if path.strip().lower() in ("", "1", "true", "yes", "on"):
+            path = _DEFAULT_DIR
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -181,7 +181,8 @@ def main():
 
         fig = plt.figure(figsize=(8, 6))
         ax = fig.add_subplot(projection="3d")
-        for p_edge, color in zip(DENSITIES, ("tab:blue", "tab:orange")):
+        palette = ("tab:blue", "tab:orange", "tab:green", "tab:red")
+        for p_edge, color in zip(DENSITIES, palette):
             cells = [c for c in matrix["cells"] if c["p"] == p_edge]
             xs = [c["ratio"] for c in cells]
             zs = [c["device_balance_dynamic"]["balance_index"] for c in cells]

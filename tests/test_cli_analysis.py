@@ -371,3 +371,67 @@ def test_cli_sharded_backend_reachable(tmp_path):
         ]
     )
     assert rc == 0
+
+
+def test_cli_resident_runs_and_validates(tmp_path):
+    """--resident: device-materialised hash graph, colored and validated
+    against the host re-derivation of the same edge set (round 4)."""
+    out = tmp_path / "out"
+    rc = cli_main(
+        [
+            "--simulate", "0.04", "-n", "900", "--mcmcgpu", "--resident",
+            "--tailcut", "--seed", "11", "--check", "--quiet",
+            "--outDir", str(out),
+        ]
+    )
+    assert rc == 0
+    logs = sorted(os.listdir(out))
+    log = [f for f in logs if f.endswith(".log")][0]
+    text = (out / log).read_text()
+    # the log contract is intact on the resident path (stats shim)
+    assert "Nodes: 900" in text
+    assert "Execution time:" in text
+    assert "Iteration performed:" in text
+    cf = [f for f in logs if f.endswith("-colors.txt")][0]
+    assert len((out / cf).read_text().strip().split("\n")) == 900
+
+
+def test_cli_resident_hastings(tmp_path):
+    """Hastings rides the NC contraction (no gathers) — legal resident."""
+    out = tmp_path / "out"
+    rc = cli_main(
+        [
+            "--simulate", "0.05", "-n", "400", "--mcmcgpu", "--resident",
+            "--hastings", "--tailcut", "-k", "60", "--seed", "3",
+            "--check", "--quiet", "--outDir", str(out),
+        ]
+    )
+    assert rc == 0
+
+
+def test_cli_resident_errors():
+    """--resident constraint surface: clean CLI errors, not tracebacks."""
+    with pytest.raises(SystemExit):
+        cli_main(["--resident", "--mcmcgpu", "--quiet", "-n", "100"])
+    with pytest.raises(SystemExit):  # needs --simulate, not --graph
+        cli_main(["--resident", "--graph", "x.txt", "--mcmcgpu", "--quiet"])
+    with pytest.raises(SystemExit):  # full-sweep mcmcgpu only
+        cli_main(["--resident", "--simulate", "0.1", "-n", "60",
+                  "--lubygpu", "--quiet"])
+    with pytest.raises(SystemExit):
+        cli_main(["--resident", "--simulate", "0.1", "-n", "60",
+                  "--mcmcgpu", "--dbg", "--quiet"])
+
+
+def test_cli_resident_ensemble(tmp_path):
+    """--chains with --resident: vmapped lock-step chains over the one
+    resident adjacency, best-of-chains result."""
+    out = tmp_path / "out"
+    rc = cli_main(
+        [
+            "--simulate", "0.05", "-n", "500", "--mcmcgpu", "--resident",
+            "--chains", "4", "--tailcut", "--seed", "2", "--check",
+            "--quiet", "--outDir", str(out),
+        ]
+    )
+    assert rc == 0

@@ -113,3 +113,42 @@ def test_resident_tailcut_tight_palette():
     assert r.extra["final_conflicts"] == 0
     assert r.extra["tailcut_rounds"] >= 1
     assert check_coloring(c.host_graph(), r.colors)
+
+
+def test_resident_rejects_oversize():
+    """The packed adjacency is O(n^2/8) bytes: past the HBM cap the
+    constructor must refuse with a pointer to the scalable paths, not
+    attempt a 100+ GB allocation."""
+    with pytest.raises(ValueError, match="packed-adjacency HBM cap"):
+        ResidentMCMCColorer(1_000_000, 0.001, graph_seed=1)
+
+
+def test_resident_ratio_and_stats_shim():
+    c = ResidentMCMCColorer(600, 0.05, graph_seed=9, num_col_ratio=2.0)
+    from mcmc_colorer_tpu.config import default_n_colors
+
+    assert c.params.n_colors == default_n_colors(c.max_degree, 2.0)
+    s = c.stats_graph()
+    assert s.n == 600 and s.n_edges == c.n_edges
+    assert s.max_degree == c.max_degree
+    assert s.degrees.shape == (600,)
+    assert abs(s.mean_degree - 2 * c.n_edges / 600) < 1e-6
+
+
+def test_resident_ensemble_best_of_chains():
+    """Vmapped resident ensemble: all chains share one adjacency, the
+    best chain is valid against the host rendition, and single-chain
+    results are untouched by the ensemble machinery."""
+    c = ResidentMCMCColorer(800, 0.04, graph_seed=31, n_chains=4)
+    best, summaries = c.run_ensemble(seed=9)
+    assert len(summaries) == 4
+    assert best.extra["chains"] == 4
+    assert best.extra["best_chain"] == summaries[best.extra["best_chain"]]["chain"]
+    assert best.extra["final_conflicts"] == 0
+    g = c.host_graph()
+    assert check_coloring(g, best.colors)
+    # run() dispatches to the ensemble and returns the same best
+    best2 = c.run(seed=9)
+    assert np.array_equal(best2.colors, best.colors)
+    # chains genuinely differ (independent streams)
+    assert len({s["class_std"] for s in summaries}) > 1

@@ -106,3 +106,17 @@ def test_compcache_enable(tmp_path, monkeypatch):
     import os
 
     assert os.path.isdir(d)
+
+
+def test_compcache_boolean_env(monkeypatch, tmp_path):
+    """MCMC_COLORER_COMPILE_CACHE=1 is the documented on-switch: it must
+    select the default cache dir, not create a directory named '1'
+    (round-4 regression found in-tree)."""
+    from mcmc_colorer_tpu.utils import compcache
+
+    monkeypatch.setenv("MCMC_COLORER_COMPILE_CACHE", "1")
+    got = compcache.enable()
+    assert got == compcache._DEFAULT_DIR
+    explicit = str(tmp_path / "xc")
+    monkeypatch.setenv("MCMC_COLORER_COMPILE_CACHE", explicit)
+    assert compcache.enable() == explicit
