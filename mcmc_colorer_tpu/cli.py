@@ -277,12 +277,11 @@ def _check_resident_args(args) -> None:
             file=sys.stderr,
         )
         sys.exit(2)
+    on_mesh = bool(args.mesh_chains or args.mesh_shards)
     for flag, on in (
         ("--dbg", args.dbg),
         ("--active", args.active),
-        ("--anneal", args.anneal),
-        ("--mesh-chains/--mesh-shards",
-         bool(args.mesh_chains or args.mesh_shards)),
+        ("--anneal without a mesh", args.anneal and not on_mesh),
     ):
         if on:
             print(f"--resident is incompatible with {flag}.",
@@ -506,35 +505,72 @@ def main(argv=None) -> int:
             print("Simulation: need 0 < P < 1 and -n N > 0.",
                   file=sys.stderr)
             sys.exit(2)
-        from mcmc_colorer_tpu.models.mcmc_resident import (
-            ResidentMCMCColorer,
+        template = MCMCParams(
+            n_colors=args.n_col or 0,
+            taboo_iterations=args.taboo_iterations,
+            tailcut=args.tailcut,
+            proposal=ProposalKind(args.proposal),
+            hastings=args.hastings,
         )
-
-        resident = ResidentMCMCColorer(
-            args.nodes,
-            args.simulate,
-            graph_seed=seed,
-            params=MCMCParams(
-                n_colors=args.n_col or 0,
-                taboo_iterations=args.taboo_iterations,
-                tailcut=args.tailcut,
-                proposal=ProposalKind(args.proposal),
-                hastings=args.hastings,
-            ),
-            num_col_ratio=ratio,
-            n_chains=max(1, args.chains),
-        )
-        if not args.quiet:
-            print(
-                f"Resident graph materialised on device in "
-                f"{resident.gen_seconds:.1f}s (zero bytes uploaded)."
+        if args.mesh_chains or args.mesh_shards:
+            # zero-upload SHARDED run: every mesh shard hash-generates
+            # its own packed adjacency strip (parallel/sharded.py)
+            from mcmc_colorer_tpu.parallel.mesh import make_mesh
+            from mcmc_colorer_tpu.parallel.sharded import (
+                AnnealConfig,
+                ShardedMCMCColorer,
             )
-        # --check re-derives the identical graph host-side (threaded C++
-        # hash enumeration) so validation runs against real edges; plain
-        # runs use the cheap stats view
-        g = resident.host_graph() if args.check else resident.stats_graph()
+
+            mesh = make_mesh(
+                chains=args.mesh_chains or None,
+                shards=args.mesh_shards or None,
+            )
+            inner = ShardedMCMCColorer(
+                None,
+                template,
+                mesh,
+                n_chains=max(args.chains, mesh.shape["chains"]),
+                anneal=AnnealConfig(enabled=args.anneal),
+                resident_spec=(args.nodes, args.simulate, seed),
+                num_col_ratio=ratio,
+            )
+            resident = _BestOfWrapper(inner)
+            if not args.quiet:
+                print(
+                    f"Resident strips materialised per shard "
+                    f"({mesh.shape['chains']}x{mesh.shape['shards']} "
+                    f"mesh, zero bytes uploaded)."
+                )
+            g = inner.host_graph() if args.check else inner.graph
+        else:
+            from mcmc_colorer_tpu.models.mcmc_resident import (
+                ResidentMCMCColorer,
+            )
+
+            inner = ResidentMCMCColorer(
+                args.nodes,
+                args.simulate,
+                graph_seed=seed,
+                params=template,
+                num_col_ratio=ratio,
+                n_chains=max(1, args.chains),
+            )
+            resident = inner
+            if not args.quiet:
+                print(
+                    f"Resident graph materialised on device in "
+                    f"{inner.gen_seconds:.1f}s (zero bytes uploaded)."
+                )
+            # --check re-derives the identical graph host-side (threaded
+            # C++ hash enumeration) so validation runs against real
+            # edges; plain runs use the cheap stats view
+            g = (
+                inner.host_graph()
+                if args.check
+                else inner.stats_graph()
+            )
         prob = args.simulate
-        params = resident.params
+        params = inner.params
         n_col = params.n_colors
     else:
         g, prob = _load_graph(args, seed)

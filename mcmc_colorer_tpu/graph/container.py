@@ -201,9 +201,19 @@ class Graph:
         sentinel ``n_pad`` so that gathers through an extended color array
         land on an always-invalid color; phantom vertices have degree 0 and
         are excluded from histograms via ``EllGraph.node_mask``.
+
+        Cached per (n_pad, d_pad): repeated colorers on one graph —
+        ratio sweeps, CLI repetitions, ensembles — reuse the rectangle
+        (its host build + device transfer is minutes at the 1M scale)
+        instead of paying it per construction.  The cache dies with the
+        Graph, like the round-3 adjacency cache.
         """
         n_pad = _round_up(max(self.n, 1), pad_nodes_to)
         d_pad = _round_up(max(self.max_degree, min_degree_pad), pad_degree_to)
+        cache = self.__dict__.setdefault("_ell_cache", {})
+        hit = cache.get((n_pad, d_pad))
+        if hit is not None:
+            return hit
         neigh = np.full((n_pad, d_pad), n_pad, dtype=np.int32)
         degs = self.degrees
         # scatter CSR rows into the rectangle
@@ -215,13 +225,21 @@ class Graph:
         neigh[row, col] = self.cols
         degrees = np.zeros(n_pad, dtype=np.int32)
         degrees[: self.n] = degs
-        return EllGraph(
+        ell = EllGraph(
             neighbors=jnp.asarray(neigh),
             degrees=jnp.asarray(degrees),
             n_nodes=self.n,
             n_edges=self.n_edges,
             max_degree=self.max_degree,
         )
+        # keep only the largest rectangle per graph: d_pad varies by
+        # backend (8 vs 128 lanes) and n_pad by block size, but holding
+        # more than one n·d_pad device array per graph risks doubling
+        # HBM at the scales where the cache matters most
+        if not cache or (n_pad, d_pad) >= max(cache):
+            cache.clear()
+            cache[(n_pad, d_pad)] = ell
+        return ell
 
     def to_ell_bucketed(
         self,

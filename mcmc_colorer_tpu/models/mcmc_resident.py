@@ -88,11 +88,19 @@ def _pack_mask(mask, words):
 
 
 @partial(jax.jit, static_argnames=("n_colors",))
-def _tailcut_nc_round(adj, colors, key, node_mask, *, n_colors):
-    """One independent-set repair round; returns (colors, conflicts)."""
+def _tailcut_nc_round(adj, colors, key, node_mask, nc_prev=None, *, n_colors):
+    """One independent-set repair round; returns (colors, conflicts,
+    nc_new).  ``nc_prev`` (the previous round's exit NC of the SAME
+    coloring) skips the entry contraction — the dominant cost of a
+    round — so a multi-round repair pays one bit-matmul per round, not
+    two."""
     n_pad = colors.shape[0]
     words = adj.shape[1]
-    nc = neighbor_color_counts(adj, colors, n_colors, node_mask)
+    nc = (
+        nc_prev
+        if nc_prev is not None
+        else neighbor_color_counts(adj, colors, n_colors, node_mask)
+    )
     n_col_pad = nc.shape[1]
     own = jnp.take_along_axis(
         nc, jnp.minimum(colors, n_col_pad - 1)[:, None], axis=1
@@ -119,15 +127,14 @@ def _tailcut_nc_round(adj, colors, key, node_mask, *, n_colors):
     ).astype(jnp.int32)
     newc = jnp.where(has_free, first_free, fallback)
     colors = jnp.where(movers, newc, colors)
+    nc_new = neighbor_color_counts(adj, colors, n_colors, node_mask)
     own2 = jnp.take_along_axis(
-        neighbor_color_counts(adj, colors, n_colors, node_mask),
-        jnp.minimum(colors, n_col_pad - 1)[:, None],
-        axis=1,
+        nc_new, jnp.minimum(colors, n_col_pad - 1)[:, None], axis=1
     )[:, 0]
     conflicts = (
         jnp.sum(jnp.where(node_mask, own2, 0), dtype=jnp.int32) // 2
     )
-    return colors, conflicts
+    return colors, conflicts, nc_new
 
 
 class _StatsShim:
@@ -321,13 +328,15 @@ class ResidentMCMCColorer:
         tc_rounds = 0
         if params.tailcut and int(conflicts) > 0:
             max_rounds = 16 + 2 * int(conflicts)
+            nc_carry = None
             while int(conflicts) > 0 and tc_rounds < max_rounds:
                 key, k_r = jax.random.split(key)
-                colors, conflicts = _tailcut_nc_round(
+                colors, conflicts, nc_carry = _tailcut_nc_round(
                     self.adj,
                     colors,
                     k_r,
                     self.ell.node_mask,
+                    nc_carry,
                     n_colors=params.n_colors,
                 )
                 tc_rounds += 1
@@ -397,8 +406,12 @@ class ResidentMCMCColorer:
                 )(keyv)
                 keyv, k_r = ks[:, 0], ks[:, 1]
                 # repair rounds are no-ops on conflict-free chains
-                # (empty conflicted set => empty mover set)
-                colors, conflicts = self._jit_tc_v(
+                # (empty conflicted set => empty mover set).  The NC is
+                # NOT threaded between vmapped rounds: a per-chain NC
+                # carry is [chains, n_pad, n_col_pad] — GBs at bench
+                # scale — so the ensemble trades one extra contraction
+                # per round for not holding it
+                colors, conflicts, _nc = self._jit_tc_v(
                     self.adj, colors, k_r, self.ell.node_mask
                 )
                 tc_rounds += 1

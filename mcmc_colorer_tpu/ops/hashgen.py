@@ -82,48 +82,164 @@ def hash_edges_reference(n: int, p: float, seed: int) -> np.ndarray:
     return np.stack([i[keep], j[keep]], axis=1)
 
 
+def _gen_packed_rows(r0, n, t, seed32, row_chunk: int, words: int):
+    """[row_chunk, words] packed adjacency rows [r0, r0+row_chunk) of the
+    hash graph (traceable; ``r0`` may be a traced int32).  Bit order is
+    ``packed_bit_coords``: word w (window w//128, lane w%128) bit b holds
+    column ``(w//128)*PACKED_K_CHUNK + b*128 + w%128``."""
+    rows = (
+        r0 + jax.lax.broadcasted_iota(jnp.int32, (row_chunk, words), 0)
+    ).astype(jnp.uint32)
+    w = jax.lax.broadcasted_iota(jnp.int32, (row_chunk, words), 1)
+    j_base = ((w // 128) * PACKED_K_CHUNK + w % 128).astype(jnp.uint32)
+
+    def bit(b, acc):
+        j = j_base + jnp.uint32(128) * b.astype(jnp.uint32)
+        lo = jnp.minimum(rows, j)
+        hi = jnp.maximum(rows, j)
+        edge = (
+            (_mix(seed32, lo, hi) < t)
+            & (rows != j)
+            & (j < jnp.uint32(n))
+            & (rows < jnp.uint32(n))
+        )
+        return acc | (edge.astype(jnp.uint32) << b.astype(jnp.uint32))
+
+    return jax.lax.fori_loop(
+        0, 32, bit, jnp.zeros((row_chunk, words), jnp.uint32)
+    )
+
+
 def er_packed_on_device(
     n: int, p: float, seed: int, n_pad: int, row_chunk: int = 2048
 ):
     """[n_pad, words] uint32 bit-packed adjacency of the hash graph,
-    computed entirely on the default device (nothing transferred).
-
-    Bit order is ``packed_bit_coords``: within each PACKED_K_CHUNK-wide
-    window, column jl lives in word jl%128 at bit jl//128 — i.e. word
-    w (window win, lane wl=w%128) bit b holds column
-    ``win*PACKED_K_CHUNK + b*128 + wl``."""
+    computed entirely on the default device (nothing transferred)."""
     if n_pad % row_chunk:
         raise ValueError(f"row_chunk must divide n_pad ({n_pad})")
     words = packed_adj_words(n_pad)
     t = jnp.uint32(er_threshold(p))
     seed32 = jnp.uint32(seed & 0xFFFFFFFF)
 
-    @partial(jax.jit, static_argnames=())
-    def gen_rows(r0):
-        rows = (
-            r0 + jax.lax.broadcasted_iota(jnp.int32, (row_chunk, words), 0)
-        ).astype(jnp.uint32)
-        w = jax.lax.broadcasted_iota(jnp.int32, (row_chunk, words), 1)
-        j_base = ((w // 128) * PACKED_K_CHUNK + w % 128).astype(jnp.uint32)
+    gen_rows = jax.jit(
+        partial(
+            _gen_packed_rows, n=n, row_chunk=row_chunk, words=words
+        ),
+        static_argnames=(),
+    )
 
-        def bit(b, acc):
-            j = j_base + jnp.uint32(128) * b.astype(jnp.uint32)
-            lo = jnp.minimum(rows, j)
-            hi = jnp.maximum(rows, j)
-            edge = (
-                (_mix(seed32, lo, hi) < t)
-                & (rows != j)
-                & (j < jnp.uint32(n))
-                & (rows < jnp.uint32(n))
+    chunks = [
+        gen_rows(jnp.int32(r0), t=t, seed32=seed32)
+        for r0 in range(0, n_pad, row_chunk)
+    ]
+    return jnp.concatenate(chunks, axis=0)
+
+
+def er_packed_strips_on_device(
+    n: int, p: float, seed: int, n_pad: int, mesh, row_chunk: int = 512
+):
+    """[n_pad, words] packed adjacency of the hash graph, rows sharded
+    ``P('shards', None)`` over the mesh — every shard materialises ITS
+    [n_loc, n_pad] strip locally (same layout/bit order as
+    ``parallel.sharded._build_packed_strips``), so nothing ships from
+    the host and nothing crosses the mesh: the zero-upload rendition of
+    the adjacency-strip build for generated graphs."""
+    from jax.sharding import PartitionSpec as P
+
+    ms = mesh.shape["shards"]
+    if n_pad % ms:
+        raise ValueError(f"shards must divide n_pad ({n_pad})")
+    n_loc = n_pad // ms
+    row_chunk = min(row_chunk, n_loc)
+    while n_loc % row_chunk:
+        row_chunk //= 2
+    words = packed_adj_words(n_pad)
+    t = jnp.uint32(er_threshold(p))
+    seed32 = jnp.uint32(seed & 0xFFFFFFFF)
+
+    def body():
+        shard_id = jax.lax.axis_index("shards")
+        r_base = shard_id.astype(jnp.int32) * jnp.int32(n_loc)
+
+        def chunk(i, acc):
+            blk = _gen_packed_rows(
+                r_base + i * row_chunk, n, t, seed32, row_chunk, words
             )
-            return acc | (edge.astype(jnp.uint32) << b.astype(jnp.uint32))
+            return jax.lax.dynamic_update_slice(
+                acc, blk, (i * row_chunk, 0)
+            )
 
         return jax.lax.fori_loop(
-            0, 32, bit, jnp.zeros((row_chunk, words), jnp.uint32)
+            0,
+            n_loc // row_chunk,
+            chunk,
+            jnp.zeros((n_loc, words), jnp.uint32),
         )
 
-    chunks = [gen_rows(jnp.int32(r0)) for r0 in range(0, n_pad, row_chunk)]
-    return jnp.concatenate(chunks, axis=0)
+    mapped = jax.shard_map(
+        body, mesh=mesh, in_specs=(), out_specs=P("shards", None),
+        check_vma=False,
+    )
+    return jax.jit(mapped)()
+
+
+def er_degrees_on_device(
+    n: int, p: float, seed: int, row_chunk: int = 2048, mesh=None
+) -> jnp.ndarray:
+    """[n] degrees of the hash graph, computed in [row_chunk, words]
+    blocks that are popcounted and DISCARDED — never materialises the
+    full adjacency, so it works at any n (used to resolve ``n_colors =
+    max degree`` before a sharded strip build).  With ``mesh`` the rows
+    split over the 'shards' axis, so the O(n²) hash sweep runs S-way
+    parallel instead of serially on one device."""
+    words = packed_adj_words(n)
+    t = jnp.uint32(er_threshold(p))
+    seed32 = jnp.uint32(seed & 0xFFFFFFFF)
+    if mesh is None:
+        deg_rows = jax.jit(
+            lambda r0: jnp.sum(
+                jax.lax.population_count(
+                    _gen_packed_rows(r0, n, t, seed32, row_chunk, words)
+                ).astype(jnp.int32),
+                axis=1,
+            )
+        )
+        n_pad = (n + row_chunk - 1) // row_chunk * row_chunk
+        out = jnp.concatenate(
+            [deg_rows(jnp.int32(r0)) for r0 in range(0, n_pad, row_chunk)]
+        )
+        return out[:n]
+
+    from jax.sharding import PartitionSpec as P
+
+    ms = mesh.shape["shards"]
+    n_loc = -(-n // (ms * row_chunk)) * row_chunk  # rows per shard
+
+    def body():
+        shard_id = jax.lax.axis_index("shards")
+        r_base = shard_id.astype(jnp.int32) * jnp.int32(n_loc)
+
+        def chunk(i, acc):
+            deg = jnp.sum(
+                jax.lax.population_count(
+                    _gen_packed_rows(
+                        r_base + i * row_chunk, n, t, seed32,
+                        row_chunk, words,
+                    )
+                ).astype(jnp.int32),
+                axis=1,
+            )
+            return jax.lax.dynamic_update_slice(acc, deg, (i * row_chunk,))
+
+        return jax.lax.fori_loop(
+            0, n_loc // row_chunk, chunk, jnp.zeros((n_loc,), jnp.int32)
+        )
+
+    mapped = jax.shard_map(
+        body, mesh=mesh, in_specs=(), out_specs=P("shards"),
+        check_vma=False,
+    )
+    return jax.jit(mapped)()[:n]
 
 
 def degrees_from_packed(adj) -> jnp.ndarray:

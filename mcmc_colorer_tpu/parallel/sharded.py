@@ -45,7 +45,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mcmc_colorer_tpu.config import MCMCParams
-from mcmc_colorer_tpu.graph.container import Graph
+from mcmc_colorer_tpu.graph.container import EllGraph, Graph
 from mcmc_colorer_tpu.models.base import Coloring
 from mcmc_colorer_tpu.models.mcmc import (
     MCMCColorer,
@@ -111,11 +111,22 @@ class ShardedMCMCColorer:
         block_size: int | None = None,
         backend: str = "auto",
         active_cap: int | None = None,
+        resident_spec: tuple | None = None,
+        num_col_ratio: float = 1.0,
     ) -> None:
         """``active_cap``: per-shard frontier capacity (rounded up to a
         multiple of 128).  When every shard's eligible frontier fits, the
         chain switches to frontier sweeps (see module docstring).  None
-        disables active mode (every sweep is full)."""
+        disables active mode (every sweep is full).
+
+        ``resident_spec=(n, p, graph_seed)``: hash-defined G(n, p)
+        (ops/hashgen.py) — pass ``graph=None``; every shard materialises
+        its OWN packed adjacency strip on-device (zero bytes uploaded,
+        the sharded rendition of models/mcmc_resident.py).  Full-sweep
+        ``backend='matmul'`` only; the tailcut runs the strip-native
+        independent-set repair.  ``params.n_colors <= 0`` resolves to
+        ``max_degree / num_col_ratio`` via a streaming on-device degree
+        pass."""
         if params.hastings and active_cap is not None:
             # The frontier sweep approximates the passive vertices' keep
             # dynamics with at most one ε-flip per sweep (see
@@ -127,6 +138,36 @@ class ShardedMCMCColorer:
             raise NotImplementedError(
                 "hastings=True requires full sweeps (active_cap=None)"
             )
+        self._resident = resident_spec is not None
+        if self._resident:
+            if graph is not None:
+                raise ValueError("pass graph=None with resident_spec")
+            if backend == "auto":
+                backend = "matmul"
+            if backend != "matmul":
+                raise ValueError(
+                    "resident_spec implies the adjacency-strip backend "
+                    f"(matmul); got {backend!r}"
+                )
+            if active_cap is not None:
+                raise NotImplementedError(
+                    "resident sharded chains run full sweeps (the "
+                    "frontier branch gathers neighbor rows, which the "
+                    "resident graph never materialises)"
+                )
+            rn, rp, rseed = resident_spec
+            if params.n_colors <= 0:
+                from mcmc_colorer_tpu.config import default_n_colors
+                from mcmc_colorer_tpu.ops.hashgen import (
+                    er_degrees_on_device,
+                )
+
+                maxdeg = int(
+                    jnp.max(er_degrees_on_device(rn, rp, rseed, mesh=mesh))
+                )
+                params = params.replace(
+                    n_colors=default_n_colors(maxdeg, num_col_ratio)
+                )
         if backend == "auto":
             backend = (
                 "pallas"
@@ -149,24 +190,69 @@ class ShardedMCMCColorer:
         # size the per-shard slice so every shard owns real vertices
         # (naively padding to shards*block can leave whole shards with
         # nothing but phantom padding on small graphs)
-        per_shard = -(-graph.n // ms)
+        g_n = resident_spec[0] if self._resident else graph.n
+        per_shard = -(-g_n // ms)
         per_shard = ((per_shard + 127) // 128) * 128
         self.block = min(
             block_size
-            or choose_block_size(graph.n, params.n_colors * cl),
+            or choose_block_size(g_n, params.n_colors * cl),
             per_shard,
         )
         n_loc = ((per_shard + self.block - 1) // self.block) * self.block
         from mcmc_colorer_tpu.graph.container import degree_pad_for
 
-        self.ell = graph.to_ell(
-            pad_nodes_to=ms * n_loc,
-            pad_degree_to=degree_pad_for(graph, backend),
-        )
-        self._n_pad = self.ell.n_pad
-        n_loc_final = self._n_pad // ms
-        self._adj_strip = None
-        if backend == "matmul":
+        if self._resident:
+            # the shim ELL only carries shapes + the log-contract stats:
+            # the matmul path's every neighbor interaction is the strip
+            # contraction, and the d_pad=8 all-sentinel rectangle is the
+            # only thing _sharded_neighbors ever ships (KBs, not GBs)
+            self._n_pad = ms * n_loc
+            from mcmc_colorer_tpu.ops.dense_adj import packed_adj_words
+
+            strip_bytes = n_loc * packed_adj_words(self._n_pad) * 4
+            if strip_bytes > 12 * 1024**3:
+                raise ValueError(
+                    f"packed adjacency strip needs {strip_bytes/1e9:.1f}"
+                    f" GB per shard at n_pad={self._n_pad} over {ms} "
+                    "shards; add shards"
+                )
+            self._adj_strip = _resident_strips(
+                resident_spec, self._n_pad, mesh
+            )
+            degrees_dev = jnp.sum(
+                jax.lax.population_count(self._adj_strip).astype(
+                    jnp.int32
+                ),
+                axis=1,
+            )
+            host_degrees = np.asarray(degrees_dev)[:g_n]
+            max_degree = int(host_degrees.max()) if g_n else 0
+            n_edges = int(host_degrees.astype(np.int64).sum() // 2)
+            self.ell = EllGraph(
+                neighbors=np.full((self._n_pad, 8), self._n_pad, np.int32),
+                degrees=degrees_dev,
+                n_nodes=g_n,
+                n_edges=n_edges,
+                max_degree=max_degree,
+            )
+            from mcmc_colorer_tpu.models.mcmc_resident import _StatsShim
+
+            rn, rp, rseed = resident_spec
+            self.graph = _StatsShim(
+                g_n, n_edges, host_degrees, max_degree,
+                f"er_hash_{rn}_{rp}",
+            )
+            self.resident_spec = resident_spec
+            n_loc_final = n_loc
+        else:
+            self.ell = graph.to_ell(
+                pad_nodes_to=ms * n_loc,
+                pad_degree_to=degree_pad_for(graph, backend),
+            )
+            self._n_pad = self.ell.n_pad
+            n_loc_final = self._n_pad // ms
+            self._adj_strip = None
+        if backend == "matmul" and not self._resident:
             # adjacency-strip formulation (VERDICT r2 item 1b): each
             # shard holds its [n_loc, n_pad] rows of the bit-packed
             # adjacency (n_pad^2/8/S bytes) and computes its NC rows as
@@ -219,7 +305,7 @@ class ShardedMCMCColorer:
                 mesh=mesh,
                 params=params,
                 chains_per_dev=cl,
-                n_nodes=graph.n,
+                n_nodes=self.graph.n,
             )
         )
         self._jit_segment = jax.jit(
@@ -230,7 +316,7 @@ class ShardedMCMCColorer:
                 block=self.block,
                 chains_per_dev=cl,
                 anneal=self.anneal,
-                n_nodes=graph.n,
+                n_nodes=self.graph.n,
                 backend=backend,
                 active_cap=active_cap,
             )
@@ -279,7 +365,19 @@ class ShardedMCMCColorer:
             np.asarray(jax.vmap(jax.random.key_data)(keys)),
             NamedSharding(self.mesh, P("chains", None)),
         )
-        return self._jit_init(self._sharded_neighbors(), keydata)
+        return self._jit_init(
+            self._sharded_neighbors(), keydata, self._adj_strip
+        )
+
+    def host_graph(self):
+        """Resident specs only: host CSR of the same hash graph
+        (threaded C++ enumeration) for validation/analysis."""
+        if not self._resident:
+            raise ValueError("host_graph() is for resident_spec colorers")
+        from mcmc_colorer_tpu.ops.hashgen import hash_er_graph
+
+        rn, rp, rseed = self.resident_spec
+        return hash_er_graph(rn, rp, rseed, name=self.graph.name)
 
     def save_checkpoint(self, state, path: str) -> None:
         """Checkpoint the whole (chains, shards) ensemble to an ``.npz``.
@@ -409,7 +507,49 @@ class ShardedMCMCColorer:
         z = self.params.tailcut_threshold(self.graph.n)
         best_colors = colors[best]
         tc_rounds = 0
-        if self.params.tailcut and conflicts[best] > 0:
+        if (
+            self.params.tailcut
+            and conflicts[best] > 0
+            and self._resident
+        ):
+            # strip-native independent-set repair (the resident graph
+            # has no neighbor rows for the rank-space tailcut below)
+            pad = np.full(self._n_pad, self.params.n_colors, np.int32)
+            pad[: self.graph.n] = best_colors
+            cols = jnp.asarray(pad)
+            tc_round = jax.jit(
+                partial(
+                    _tailcut_strips_round,
+                    mesh=self.mesh,
+                    params=self.params,
+                    n_nodes=self.graph.n,
+                )
+            )
+            conf = int(conflicts[best])
+            max_rounds = 16 + 2 * conf
+            k = rngu.for_iteration(root, 999_999)
+            nc_carry = None
+            while conf > 0 and tc_rounds < max_rounds:
+                k, kr = jax.random.split(k)
+                # the previous round's exit NC is this round's entry NC
+                # (same coloring) — threading it halves the bit-matmul
+                # contractions per repair round
+                if nc_carry is None:
+                    cols, confj, nc_carry = tc_round(
+                        self._adj_strip, cols, jax.random.key_data(kr)
+                    )
+                else:
+                    cols, confj, nc_carry = tc_round(
+                        self._adj_strip,
+                        cols,
+                        jax.random.key_data(kr),
+                        nc_carry,
+                    )
+                conf = int(_host_get(confj))
+                tc_rounds += 1
+            best_colors = _host_get(cols)[: self.graph.n]
+            conflicts[best] = conf
+        elif self.params.tailcut and conflicts[best] > 0:
             # shard-resident tail-cutting of the best chain: reuses the
             # sharded ELL rows in place (the round-1 version rebuilt a
             # flat single-device rectangle on the host — at the 1M scale
@@ -482,6 +622,33 @@ class ShardedMCMCColorer:
 # ------------------------------ shard_map body -----------------------------
 
 
+# resident strip cache: hash graphs have no host Graph object to hang
+# the per-graph cache off, so key on (spec, n_pad, devices) here
+_RESIDENT_STRIP_CACHE: dict = {}
+
+
+def _resident_strips(spec: tuple, n_pad: int, mesh: Mesh):
+    """Per-shard hash-generated packed adjacency strips (cached like the
+    ELL-built strips: repeated colorers on one spec reuse the build)."""
+    from mcmc_colorer_tpu.ops.hashgen import er_packed_strips_on_device
+
+    rn, rp, rseed = spec
+    ck = (
+        rn, float(rp), int(rseed), n_pad,
+        tuple(int(d.id) for d in mesh.devices.flat),
+    )
+    if ck not in _RESIDENT_STRIP_CACHE:
+        # the strips are HBM-sized; keep only the most recent spec so
+        # sweeping many graphs in one process can't accumulate them
+        # (the ELL-strip cache hangs off the Graph object and dies with
+        # it — a module-level cache needs explicit eviction)
+        _RESIDENT_STRIP_CACHE.clear()
+        _RESIDENT_STRIP_CACHE[ck] = er_packed_strips_on_device(
+            rn, rp, rseed, n_pad, mesh
+        )
+    return _RESIDENT_STRIP_CACHE[ck]
+
+
 def _build_packed_strips(neighbors, mesh: Mesh, target_slots=40_000_000):
     """[n_pad, words] uint32 bit-packed adjacency, rows sharded
     P('shards', None) — each shard's slice IS its [n_loc, n_pad] strip in
@@ -543,6 +710,40 @@ def _build_packed_strips(neighbors, mesh: Mesh, target_slots=40_000_000):
     for r0 in range(0, n_loc, bh):
         a = band(a, neighbors, jnp.int32(r0))
     return a
+
+
+def _strip_nc(strip_loc, cf, full_real, n_colors):
+    """[n_loc, n_col_pad] neighbor color counts of the owned vertices
+    from this shard's packed strip (shared by the segment's nc_of, the
+    NC init and the strip tailcut): Mosaic bit-matmul on TPU, chunked
+    XLA unpack elsewhere."""
+    from mcmc_colorer_tpu.ops.dense_adj import (
+        PACKED_NC_IMPL,
+        _packed_neighbor_color_counts,
+    )
+
+    n_col_pad = (n_colors + 127) // 128 * 128
+    masked = jnp.where(full_real, cf, jnp.int32(-1))
+    if PACKED_NC_IMPL == "pallas" and jax.default_backend() not in (
+        "cpu",
+        "gpu",
+    ):
+        from mcmc_colorer_tpu.ops.pallas_bitmatmul import packed_nc_pallas
+
+        return packed_nc_pallas(strip_loc, masked, n_col_pad)
+    return _packed_neighbor_color_counts(strip_loc, masked, n_col_pad)
+
+
+def _nc_own_count(nc, own):
+    """[n_loc] same-color-neighbor counts read out of an NC matrix —
+    NC[i, own_i] without a gather (compare-sum over the color axis, as
+    in _sweep_matmul; phantom strip rows are all-zero, contributing 0)."""
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, nc.shape[1]), 1)
+    return jnp.sum(
+        jnp.where(col_ids == own[:, None], nc, 0),
+        axis=1,
+        dtype=jnp.int32,
+    )
 
 
 def _run_sharded_segment(
@@ -625,39 +826,11 @@ def _run_sharded_segment(
             Hastings reverse occupancy — no neighbor gathers at all.
             On TPU the contraction is the hardware-validated Mosaic
             bit-matmul (bench_packed r3: 121 ms/iter at n=100k)."""
-            from mcmc_colorer_tpu.ops.dense_adj import (
-                PACKED_NC_IMPL,
-                _packed_neighbor_color_counts,
-            )
-
-            masked = jnp.where(full_real, cf, jnp.int32(-1))
-            if PACKED_NC_IMPL == "pallas" and jax.default_backend() not in (
-                "cpu",
-                "gpu",
-            ):
-                from mcmc_colorer_tpu.ops.pallas_bitmatmul import (
-                    packed_nc_pallas,
-                )
-
-                return packed_nc_pallas(strip_loc, masked, n_col_pad)
-            return _packed_neighbor_color_counts(
-                strip_loc, masked, n_col_pad
-            )
+            return _strip_nc(strip_loc, cf, full_real, n_colors)
 
         def cnt_of_nc(nc, cf):
-            """[n_loc] same-color-neighbor counts read out of an NC
-            matrix — NC[i, c_i] without a gather (compare-sum over the
-            color axis, as in _sweep_matmul; phantom strip rows are
-            all-zero, so they contribute 0)."""
             own = jnp.take(cf, jnp.clip(self_gids, 0, n_pad - 1))
-            col_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (1, n_col_pad), 1
-            )
-            return jnp.sum(
-                jnp.where(col_ids == own[:, None], nc, 0),
-                axis=1,
-                dtype=jnp.int32,
-            )
+            return _nc_own_count(nc, own)
 
         undone0 = jax.lax.psum(
             jnp.sum((conflicts0 > z).astype(jnp.int32)), "chains"
@@ -1364,6 +1537,7 @@ def _run_sharded_segment(
 def _sharded_init(
     neighbors,  # [n_pad, d_pad] sharded P('shards', None)
     keydata,    # [C, 2] uint32 key data, sharded P('chains', None)
+    adj_strip=None,  # [n_pad, words] sharded P('shards', None), or None
     *,
     mesh: Mesh,
     params: MCMCParams,
@@ -1371,14 +1545,18 @@ def _sharded_init(
     n_nodes: int,
 ):
     """Initial ensemble state (random colorings, counts, trace row 0) as a
-    10-tuple matching `_run_sharded_segment`'s state specs."""
+    10-tuple matching `_run_sharded_segment`'s state specs.  With
+    ``adj_strip`` the initial counts come from the NC contraction instead
+    of the neighbor gather (bit-equal; required on resident graphs whose
+    shim ELL has no real neighbor rows)."""
     n_pad, _ = neighbors.shape
     ms = mesh.shape["shards"]
     n_loc = n_pad // ms
     cl = chains_per_dev
     n_colors = params.n_colors
+    use_nc = adj_strip is not None
 
-    def body_fn(neigh_loc, keydata_loc):
+    def body_fn(neigh_loc, keydata_loc, *maybe_strip):
         keys_loc = jax.vmap(jax.random.wrap_key_data)(keydata_loc)
         shard_id = jax.lax.axis_index("shards")
         offset = shard_id.astype(jnp.int32) * jnp.int32(n_loc)
@@ -1395,11 +1573,26 @@ def _sharded_init(
 
         colors0, loop_keys = jax.vmap(init_chain)(keys_loc)  # [cl, n_pad]
 
-        def cnt_of(cf):
-            cf_ext = jnp.concatenate([cf, jnp.full((1,), -1, jnp.int32)])
-            nc = jnp.take(cf_ext, neigh_loc, axis=0)
-            own = jnp.take(cf, jnp.clip(self_gids, 0, n_pad - 1))
-            return jnp.sum((nc == own[:, None]).astype(jnp.int32), axis=1)
+        if use_nc:
+            strip_loc = maybe_strip[0]
+
+            def cnt_of(cf):
+                own = jnp.take(cf, jnp.clip(self_gids, 0, n_pad - 1))
+                return _nc_own_count(
+                    _strip_nc(strip_loc, cf, full_real, n_colors), own
+                )
+
+        else:
+
+            def cnt_of(cf):
+                cf_ext = jnp.concatenate(
+                    [cf, jnp.full((1,), -1, jnp.int32)]
+                )
+                nc = jnp.take(cf_ext, neigh_loc, axis=0)
+                own = jnp.take(cf, jnp.clip(self_gids, 0, n_pad - 1))
+                return jnp.sum(
+                    (nc == own[:, None]).astype(jnp.int32), axis=1
+                )
 
         cnt0 = jax.vmap(cnt_of)(colors0)  # [cl, n_loc]
         conflicts0 = jax.lax.psum(
@@ -1417,10 +1610,15 @@ def _sharded_init(
             trace0,
         )
 
+    in_specs = [P("shards", None), P("chains", None)]
+    args = [neighbors, keydata]
+    if use_nc:
+        in_specs.append(P("shards", None))
+        args.append(adj_strip)
     mapped = jax.shard_map(
         body_fn,
         mesh=mesh,
-        in_specs=(P("shards", None), P("chains", None)),
+        in_specs=tuple(in_specs),
         out_specs=(
             P("chains", None),
             P("chains", "shards"),
@@ -1431,9 +1629,7 @@ def _sharded_init(
         ),
         check_vma=False,
     )
-    colors0, taboo0, cnt0, keydata0, conflicts0, trace0 = mapped(
-        neighbors, keydata
-    )
+    colors0, taboo0, cnt0, keydata0, conflicts0, trace0 = mapped(*args)
     return (
         colors0,
         taboo0,
@@ -1449,6 +1645,110 @@ def _sharded_init(
 
 
 # ------------------------------ sharded tailcut -----------------------------
+
+
+def _tailcut_strips_round(
+    adj_strip,   # [n_pad, words] sharded P('shards', None)
+    cols_full,   # [n_pad] int32 replicated (phantoms hold n_colors)
+    keydata,     # raw uint32 key data (replicated)
+    nc_prev=None,  # [n_loc, n_col_pad] P('shards', None): the previous
+                   # round's exit NC (skips the entry contraction — the
+                   # dominant cost of a round)
+    *,
+    mesh: Mesh,
+    params: MCMCParams,
+    n_nodes: int,
+):
+    """One strip-native independent-set repair round (the sharded
+    rendition of models/mcmc_resident._tailcut_nc_round — the resident
+    graph has no neighbor rows for the rank-space tailcut to gather):
+    each shard flips coins over its conflicted owned vertices, ONE tiled
+    all_gather shares the head set, heads with no head-neighbor (one
+    ``strip & head_bits`` popcount pass) move to their first NC-free
+    color, and a second all_gather publishes the new colors.  Movers are
+    pairwise non-adjacent and land on colors unoccupied in their whole
+    neighborhood, so conflicts are monotone while free colors exist.
+    Returns (new cols_full replicated, global conflict count)."""
+    from mcmc_colorer_tpu.models.mcmc_resident import _pack_mask
+
+    n_pad = cols_full.shape[0]
+    ms = mesh.shape["shards"]
+    n_loc = n_pad // ms
+    n_colors = params.n_colors
+
+    def body(strip_loc, cols, kd, *maybe_nc):
+        key = jax.random.wrap_key_data(kd)
+        shard_id = jax.lax.axis_index("shards")
+        offset = shard_id.astype(jnp.int32) * jnp.int32(n_loc)
+        self_gids = offset + jnp.arange(n_loc, dtype=jnp.int32)
+        real_loc = self_gids < jnp.int32(n_nodes)
+        full_real = jnp.arange(n_pad, dtype=jnp.int32) < jnp.int32(n_nodes)
+
+        own = jnp.take(cols, jnp.clip(self_gids, 0, n_pad - 1))
+        nc = (
+            maybe_nc[0]
+            if maybe_nc
+            else _strip_nc(strip_loc, cols, full_real, n_colors)
+        )
+        cnt = _nc_own_count(nc, own)
+        conflicted = (cnt > 0) & real_loc
+        heads = conflicted & (
+            jax.random.uniform(
+                jax.random.fold_in(key, shard_id),
+                (n_loc,),
+                dtype=jnp.float32,
+            )
+            < 0.5
+        )
+        heads_full = jax.lax.all_gather(
+            heads, "shards", axis=0, tiled=True
+        )
+        head_bits = _pack_mask(heads_full, strip_loc.shape[1])
+        nbr_heads = jnp.sum(
+            jax.lax.population_count(
+                strip_loc & head_bits[None, :]
+            ).astype(jnp.int32),
+            axis=1,
+        )
+        movers = heads & (nbr_heads == 0)
+        n_col_pad = nc.shape[1]
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_col_pad), 1)
+        free = (nc == 0) & (col_ids < n_colors)
+        first_free = jnp.argmax(free, axis=1).astype(jnp.int32)
+        has_free = jnp.any(free, axis=1)
+        fallback = jnp.argmin(
+            jnp.where(col_ids < n_colors, nc, jnp.int32(2**30)), axis=1
+        ).astype(jnp.int32)
+        newc = jnp.where(has_free, first_free, fallback)
+        cols_loc = jnp.where(movers, newc, own)
+        cols_new = jax.lax.all_gather(
+            cols_loc, "shards", axis=0, tiled=True
+        )
+        nc2 = _strip_nc(strip_loc, cols_new, full_real, n_colors)
+        own2 = jnp.take(cols_new, jnp.clip(self_gids, 0, n_pad - 1))
+        cnt2 = _nc_own_count(nc2, own2)
+        conflicts = (
+            jax.lax.psum(
+                jnp.sum(jnp.where(real_loc, cnt2, 0), dtype=jnp.int32),
+                "shards",
+            )
+            // 2
+        )
+        return cols_new, conflicts, nc2
+
+    in_specs = [P("shards", None), P(), P()]
+    args = [adj_strip, cols_full, keydata]
+    if nc_prev is not None:
+        in_specs.append(P("shards", None))
+        args.append(nc_prev)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P(), P("shards", None)),
+        check_vma=False,
+    )
+    return mapped(*args)
 
 
 def _run_tailcut_sharded(

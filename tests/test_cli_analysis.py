@@ -435,3 +435,18 @@ def test_cli_resident_ensemble(tmp_path):
         ]
     )
     assert rc == 0
+
+
+def test_cli_resident_sharded_mesh(tmp_path):
+    """--resident with a mesh: every shard hash-generates its own packed
+    adjacency strip; the run validates against the host re-derivation."""
+    out = tmp_path / "out"
+    rc = cli_main(
+        [
+            "--simulate", "0.04", "-n", "800", "--mcmcgpu", "--resident",
+            "--mesh-chains", "2", "--mesh-shards", "4", "--chains", "4",
+            "--tailcut", "--seed", "5", "--check", "--quiet",
+            "--outDir", str(out),
+        ]
+    )
+    assert rc == 0

@@ -274,3 +274,25 @@ def test_native_mcmc_seq_chain():
     used_c = len(np.unique(colors))
     used_py = len(np.unique(r_py.colors))
     assert abs(used_c - used_py) <= 0.2 * max(used_c, used_py)
+
+
+def test_to_ell_cache_reuse():
+    """Repeated colorers on one graph reuse the padded rectangle (its
+    host build + transfer is minutes at the 1M scale); a different pad
+    shape still gets a correct rectangle."""
+    from mcmc_colorer_tpu.graph.generate import erdos_renyi
+
+    g = erdos_renyi(300, 0.05, seed=3)
+    e1 = g.to_ell(pad_nodes_to=128)
+    e2 = g.to_ell(pad_nodes_to=128)
+    assert e1 is e2  # cache hit
+    e3 = g.to_ell(pad_nodes_to=512)
+    assert e3.n_pad == 512 and e3 is not e1
+    # same adjacency content regardless of pad (sentinels normalised)
+    import numpy as np
+
+    a = np.asarray(e1.neighbors)[:300]
+    b = np.asarray(e3.neighbors)[:300, : e1.d_pad]
+    assert np.array_equal(
+        np.where(a == e1.n_pad, -1, a), np.where(b == e3.n_pad, -1, b)
+    )

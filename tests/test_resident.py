@@ -152,3 +152,130 @@ def test_resident_ensemble_best_of_chains():
     assert np.array_equal(best2.colors, best.colors)
     # chains genuinely differ (independent streams)
     assert len({s["class_std"] for s in summaries}) > 1
+
+
+# ----------------------- sharded resident (round 4) -----------------------
+
+
+def _mesh24():
+    from mcmc_colorer_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(chains=2, shards=4)
+
+
+def test_hash_strips_match_ell_built_strips():
+    """Per-shard hash-generated strips must be bit-identical to the
+    strips built band-wise from the host ELL of the same graph."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mcmc_colorer_tpu.parallel.sharded import (
+        _build_packed_strips,
+        _put_global,
+    )
+
+    n, p, seed = 700, 0.03, 13
+    mesh = _mesh24()
+    g = hashgen.hash_er_graph(n, p, seed)
+    ell = g.to_ell(pad_nodes_to=1024)
+    neigh = _put_global(
+        np.asarray(ell.neighbors), NamedSharding(mesh, P("shards", None))
+    )
+    ref = np.asarray(_build_packed_strips(neigh, mesh))
+    got = np.asarray(
+        hashgen.er_packed_strips_on_device(n, p, seed, ell.n_pad, mesh)
+    )
+    assert np.array_equal(ref, got)
+
+
+def test_sharded_resident_matches_classic_strips():
+    """The resident sharded chain is bit-identical to the classic
+    strip-backend chain on the host rendition of the same hash graph
+    (same strips, same NC init, same seeds)."""
+    from mcmc_colorer_tpu.parallel.sharded import ShardedMCMCColorer
+
+    mesh = _mesh24()
+    n, p, seed = 900, 0.04, 5
+    params = MCMCParams(
+        n_colors=40,
+        proposal=ProposalKind.BALANCE_DYNAMIC,
+        max_iterations=6,
+    )
+    res = ShardedMCMCColorer(
+        None, params, mesh, n_chains=4, resident_spec=(n, p, seed)
+    )
+    g = hashgen.hash_er_graph(n, p, seed)
+    cls = ShardedMCMCColorer(
+        g, params, mesh, n_chains=4, backend="matmul"
+    )
+    b_res, s_res = res.run(seed=7)
+    b_cls, s_cls = cls.run(seed=7)
+    assert np.array_equal(b_res.colors, b_cls.colors)
+    assert [s["conflicts"] for s in s_res] == [
+        s["conflicts"] for s in s_cls
+    ]
+
+
+def test_sharded_resident_tailcut_valid():
+    """Tight palette forces the strip-native independent-set repair;
+    the result must be conflict-free and valid vs the host graph."""
+    from mcmc_colorer_tpu.models.base import check_coloring
+    from mcmc_colorer_tpu.parallel.sharded import ShardedMCMCColorer
+
+    mesh = _mesh24()
+    spec = (1200, 0.04, 21)
+    c0 = ShardedMCMCColorer(
+        None,
+        MCMCParams(n_colors=0, tailcut=True),
+        mesh,
+        n_chains=2,
+        resident_spec=spec,
+    )
+    p = MCMCParams(
+        n_colors=max(4, c0.graph.max_degree // 2),
+        proposal=ProposalKind.BALANCE_DYNAMIC,
+        tailcut=True,
+        max_iterations=40,
+    )
+    c = ShardedMCMCColorer(
+        None, p, mesh, n_chains=2, resident_spec=spec
+    )
+    best, _ = c.run(seed=4)
+    assert best.extra["final_conflicts"] == 0
+    assert check_coloring(c.host_graph(), best.colors)
+
+
+def test_sharded_resident_rejects_bad_configs():
+    from mcmc_colorer_tpu.parallel.sharded import ShardedMCMCColorer
+
+    mesh = _mesh24()
+    params = MCMCParams(n_colors=8)
+    g = hashgen.hash_er_graph(300, 0.05, 1)
+    with pytest.raises(ValueError, match="graph=None"):
+        ShardedMCMCColorer(
+            g, params, mesh, resident_spec=(300, 0.05, 1)
+        )
+    with pytest.raises(ValueError, match="matmul"):
+        ShardedMCMCColorer(
+            None, params, mesh, backend="xla",
+            resident_spec=(300, 0.05, 1),
+        )
+    with pytest.raises(NotImplementedError):
+        ShardedMCMCColorer(
+            None, params, mesh, active_cap=128,
+            resident_spec=(300, 0.05, 1),
+        )
+
+
+def test_sharded_resident_hbm_cap_precheck():
+    """The per-shard strip HBM bound must refuse BEFORE attempting the
+    build (an OOM mid-build is not an error message)."""
+    from mcmc_colorer_tpu.parallel.sharded import ShardedMCMCColorer
+
+    with pytest.raises(ValueError, match="GB per shard"):
+        ShardedMCMCColorer(
+            None,
+            MCMCParams(n_colors=64),
+            _mesh24(),
+            resident_spec=(2_000_000, 0.0001, 1),
+        )
