@@ -196,19 +196,26 @@ def cpu_seq_rate(n=10_000, p=None, seed=0, mean_deg=1000,
     p = p if p is not None else min(0.5, mean_deg / n)
     g = erdos_renyi(n, p, seed=seed)
     if native.available():
-        total_s, total_sweeps, runs = 0.0, 0, 0
+        total_s, total_sweeps, runs, best = 0.0, 0, 0, 0.0
         while total_s < min_window_s or total_sweeps < 20:
             t0 = time.perf_counter()
             _, iters = native.run_mcmc_seq(
                 g, g.max_degree, max_iterations=25, seed=1 + runs
             )
-            total_s += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            total_s += dt
             total_sweeps += max(1, iters)
+            # per-run best: the machine also hosts bench orchestration,
+            # so the mean rate dips with transient load — the fastest
+            # run is the honest (and for vs_baseline, conservative)
+            # estimate of the compiled chain's real throughput
+            best = max(best, g.n * max(1, iters) / dt)
             runs += 1
-        rate = g.n * total_sweeps / total_s
+        rate = best
         log(
             f"cpu-seq (native C++): {total_sweeps} sweeps over n={n} in "
-            f"{total_s:.2f}s across {runs} runs ({rate:.0f} updates/s)"
+            f"{total_s:.2f}s across {runs} runs (best run "
+            f"{rate:.0f} updates/s; mean {g.n*total_sweeps/total_s:.0f})"
         )
         return rate
     from mcmc_colorer_tpu.config import MCMCParams
