@@ -259,21 +259,23 @@ def _device_backend(args) -> str:
 
 def _check_resident_args(args) -> None:
     """--resident is the zero-upload hash-graph path: full-sweep
-    --mcmcgpu over a --simulate graph only (single chain or a vmapped
-    --chains ensemble)."""
+    --mcmcgpu (single chain, vmapped --chains ensemble, or a mesh) and/or
+    the matmul Luby loop (--lubygpu, no mesh) over a --simulate graph."""
     if args.graph or args.simulate is None:
         print("--resident requires --simulate (it IS the generator).",
               file=sys.stderr)
         sys.exit(2)
+    on_mesh = bool(args.mesh_chains or args.mesh_shards)
     others = (
-        args.mcmccpu or args.lubygpu or args.grdffgpu or args.vffgpu
-        or args.greedycpu or not args.mcmcgpu
+        args.mcmccpu or args.grdffgpu or args.vffgpu
+        or args.greedycpu or not (args.mcmcgpu or args.lubygpu)
     )
-    if others:
+    if others or (args.lubygpu and on_mesh):
         print(
-            "--resident runs the full-sweep parallel MCMC only: select "
-            "exactly --mcmcgpu (other colorers gather neighbor lists, "
-            "which the resident graph never materialises).",
+            "--resident runs the NC-native colorers only: --mcmcgpu "
+            "(any driver) and/or --lubygpu (no mesh); other colorers "
+            "gather neighbor lists, which the resident graph never "
+            "materialises.",
             file=sys.stderr,
         )
         sys.exit(2)
@@ -499,6 +501,7 @@ def main(argv=None) -> int:
     seed = args.seed if args.seed is not None else int(time.time())
     ratio = min(16.0, max(1.0, args.num_col_ratio))
     resident = None
+    resident_luby = None
     if args.resident:
         _check_resident_args(args)
         if not (0.0 < args.simulate < 1.0) or args.nodes <= 0:
@@ -512,7 +515,30 @@ def main(argv=None) -> int:
             proposal=ProposalKind(args.proposal),
             hastings=args.hastings,
         )
-        if args.mesh_chains or args.mesh_shards:
+        if args.lubygpu:
+            # NC-native Luby over the same hash graph (models/luby.py):
+            # the matmul loop reads the ELL only for shapes, so the
+            # resident adjacency serves it directly
+            from mcmc_colorer_tpu.models.luby import LubyColorer
+
+            resident_luby = LubyColorer(
+                None, resident_spec=(args.nodes, args.simulate, seed)
+            )
+        if not args.mcmcgpu:
+            # Luby-only resident run: no MCMC palette to resolve
+            inner = resident_luby
+            g = (
+                resident_luby.host_graph()
+                if args.check
+                else resident_luby.graph
+            )
+            prob = args.simulate
+            params = template.replace(
+                n_colors=args.n_col
+                or default_n_colors(g.max_degree, ratio)
+            )
+            n_col = params.n_colors
+        elif args.mesh_chains or args.mesh_shards:
             # zero-upload SHARDED run: every mesh shard hash-generates
             # its own packed adjacency strip (parallel/sharded.py)
             from mcmc_colorer_tpu.parallel.mesh import make_mesh
@@ -569,9 +595,10 @@ def main(argv=None) -> int:
                 if args.check
                 else inner.stats_graph()
             )
-        prob = args.simulate
-        params = inner.params
-        n_col = params.n_colors
+        if args.mcmcgpu:
+            prob = args.simulate
+            params = inner.params
+            n_col = params.n_colors
     else:
         g, prob = _load_graph(args, seed)
         n_col = args.n_col or default_n_colors(g.max_degree, ratio)
@@ -597,11 +624,12 @@ def main(argv=None) -> int:
 
     rc = 0
     for kind in _algos(args):
-        colorer = (
-            resident
-            if resident is not None and kind == ColorerKind.MCMC
-            else _make_colorer(kind, g, args, params)
-        )
+        if resident is not None and kind == ColorerKind.MCMC:
+            colorer = resident
+        elif resident_luby is not None and kind == ColorerKind.LUBY:
+            colorer = resident_luby
+        else:
+            colorer = _make_colorer(kind, g, args, params)
         tag = _ALGO_TAG[kind]
         for rep in range(args.repet):
             result = colorer.run(seed, repetition=rep)

@@ -39,6 +39,7 @@ class LubyColorer:
         bucket_factor: int | None = None,
         layout: str = "flat",
         backend: str = "auto",
+        resident_spec: tuple | None = None,
     ) -> None:
         """``active=True`` runs the frontier variant: every coin-flip /
         survival round gathers only the rows of the remaining *candidates*
@@ -61,9 +62,77 @@ class LubyColorer:
         fits and the graph is gather-bound, else xla)."""
         import numpy as _np
 
-        self.graph = graph
         self.active = active
         self.layout = layout
+        if resident_spec is not None:
+            # hash-defined G(n, p): the device materialises the packed
+            # adjacency itself (ops/hashgen.py) and the MXU loop is
+            # fully NC-native (it reads ell only for shapes/masks), so
+            # the ELL rectangle never ships.  Full flat matmul loop only.
+            if graph is not None:
+                raise ValueError("pass graph=None with resident_spec")
+            if active or layout != "flat":
+                raise ValueError(
+                    "resident Luby runs the flat full matmul loop only "
+                    "(the frontier/bucketed variants gather neighbor "
+                    "rows the resident graph never materialises)"
+                )
+            if backend not in ("auto", "matmul"):
+                raise ValueError(
+                    f"resident_spec implies backend='matmul'; got "
+                    f"{backend!r}"
+                )
+            from functools import partial
+
+            from mcmc_colorer_tpu.models.mcmc_resident import (
+                _StatsShim,
+                _round_up,
+            )
+            from mcmc_colorer_tpu.ops.hashgen import (
+                degrees_from_packed,
+                er_packed_on_device,
+            )
+
+            rn, rp, rseed = resident_spec
+            self.backend = "matmul"
+            n_pad = _round_up(rn, 2048)
+            self._adj = er_packed_on_device(rn, rp, rseed, n_pad)
+            degrees_dev = degrees_from_packed(self._adj)
+            host_degrees = np.asarray(degrees_dev)[:rn]
+            max_degree = int(host_degrees.max()) if rn else 0
+            n_edges = int(host_degrees.astype(np.int64).sum() // 2)
+            self.graph = _StatsShim(
+                rn, n_edges, host_degrees, max_degree,
+                f"er_hash_{rn}_{rp}",
+            )
+            self.resident_spec = resident_spec
+            self.ell = EllGraph(
+                neighbors=np.full((n_pad, 8), n_pad, np.int32),
+                degrees=degrees_dev,
+                n_nodes=rn,
+                n_edges=n_edges,
+                max_degree=max_degree,
+            )
+            self._perm = None
+            uniq = _np.unique(host_degrees)
+            rank = _np.searchsorted(
+                uniq, _np.asarray(degrees_dev)
+            ).astype(_np.int32)
+            self._rank_class = jnp.asarray(rank)
+            seg5 = jax.jit(
+                partial(_luby_segment_matmul, n_classes=int(uniq.size))
+            )
+            self._jit_segment = (
+                lambda ell, c, b: seg5(
+                    ell, self._adj, self._rank_class, c, b
+                )
+            )
+            self._jit_init = jax.jit(_luby_init)
+            self._jit_rounds = {}
+            self._min_bucket = min_bucket
+            self._bucket_factor = bucket_factor or 4
+            return
+        self.graph = graph
         if backend == "auto":
             from mcmc_colorer_tpu.ops.dense_adj import dense_adj_ok
 
@@ -143,6 +212,15 @@ class LubyColorer:
             # rung; see models/mcmc_active.py), finer elsewhere
             bucket_factor = 16 if self.backend == "pallas" else 4
         self._bucket_factor = bucket_factor
+
+    def host_graph(self):
+        """Resident specs only: host CSR of the same hash graph for
+        validation/analysis."""
+        if not hasattr(self, "resident_spec"):
+            raise ValueError("host_graph() is for resident_spec colorers")
+        from mcmc_colorer_tpu.ops.hashgen import hash_er_graph
+
+        return hash_er_graph(*self.resident_spec, name=self.graph.name)
 
     def _round_fn(self, cap: int):
         if cap not in self._jit_rounds:

@@ -415,9 +415,9 @@ def test_cli_resident_errors():
         cli_main(["--resident", "--mcmcgpu", "--quiet", "-n", "100"])
     with pytest.raises(SystemExit):  # needs --simulate, not --graph
         cli_main(["--resident", "--graph", "x.txt", "--mcmcgpu", "--quiet"])
-    with pytest.raises(SystemExit):  # full-sweep mcmcgpu only
+    with pytest.raises(SystemExit):  # NC-native colorers only
         cli_main(["--resident", "--simulate", "0.1", "-n", "60",
-                  "--lubygpu", "--quiet"])
+                  "--grdffgpu", "--quiet"])
     with pytest.raises(SystemExit):
         cli_main(["--resident", "--simulate", "0.1", "-n", "60",
                   "--mcmcgpu", "--dbg", "--quiet"])
@@ -450,3 +450,19 @@ def test_cli_resident_sharded_mesh(tmp_path):
         ]
     )
     assert rc == 0
+
+
+def test_cli_resident_luby(tmp_path):
+    """--lubygpu composes with --resident (NC-native loop); Luby-only
+    resident runs need no MCMC palette resolution."""
+    out = tmp_path / "out"
+    rc = cli_main(
+        [
+            "--simulate", "0.05", "-n", "600", "--lubygpu", "--resident",
+            "--seed", "2", "--check", "--quiet", "--outDir", str(out),
+        ]
+    )
+    assert rc == 0
+    with pytest.raises(SystemExit):  # no mesh for resident Luby
+        cli_main(["--simulate", "0.05", "-n", "100", "--lubygpu",
+                  "--resident", "--mesh-shards", "2", "--quiet"])

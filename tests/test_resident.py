@@ -279,3 +279,32 @@ def test_sharded_resident_hbm_cap_precheck():
             _mesh24(),
             resident_spec=(2_000_000, 0.0001, 1),
         )
+
+
+def test_resident_luby_matches_classic_and_validates():
+    """The resident Luby loop (hash adjacency, shim ELL) must produce
+    exactly the classic matmul loop's coloring on the host rendition of
+    the same graph, and it must be a valid proper coloring."""
+    from mcmc_colorer_tpu.models.luby import LubyColorer
+
+    n, p, seed = 900, 0.04, 17
+    res = LubyColorer(None, resident_spec=(n, p, seed))
+    r1 = res.run(seed=3)
+    g = res.host_graph()
+    cls = LubyColorer(g, backend="matmul")
+    r2 = cls.run(seed=3)
+    assert np.array_equal(r1.colors, r2.colors)
+    assert r1.n_colors == r2.n_colors
+    assert check_coloring(g, r1.colors)
+
+
+def test_resident_luby_rejects_bad_configs():
+    from mcmc_colorer_tpu.models.luby import LubyColorer
+
+    g = hashgen.hash_er_graph(200, 0.05, 1)
+    with pytest.raises(ValueError, match="graph=None"):
+        LubyColorer(g, resident_spec=(200, 0.05, 1))
+    with pytest.raises(ValueError, match="flat full matmul"):
+        LubyColorer(None, active=True, resident_spec=(200, 0.05, 1))
+    with pytest.raises(ValueError, match="matmul"):
+        LubyColorer(None, backend="xla", resident_spec=(200, 0.05, 1))
