@@ -150,6 +150,12 @@ def main():
                 > d["balance_index_std"] + dyn["balance_index_std"]
             )
             matrix["cells"].append(c)
+            # incremental checkpoint: a multi-hour run must not lose
+            # everything to a late crash or round timeout — every cell
+            # lands on disk as it completes (partial file is marked)
+            matrix["partial"] = True
+            with open(args.out + ".partial", "w") as f:
+                json.dump(matrix, f, indent=1)
             print(
                 f"p={p_edge} ratio={ratio}: nCol={n_col} "
                 f"seqBI={s['balance_index']:.2f} devBI={d['balance_index']:.2f} "
@@ -169,8 +175,13 @@ def main():
     )
     ok = ok and matrix["any_variant_separation"]
     matrix["all_checks_pass"] = ok
+    matrix.pop("partial", None)
+    import os as _os
+
     with open(args.out, "w") as f:
         json.dump(matrix, f, indent=1)
+    if _os.path.exists(args.out + ".partial"):
+        _os.remove(args.out + ".partial")
     print("matrix →", args.out, "all_checks_pass:", ok)
 
     try:

@@ -308,3 +308,27 @@ def test_resident_luby_rejects_bad_configs():
         LubyColorer(None, active=True, resident_spec=(200, 0.05, 1))
     with pytest.raises(ValueError, match="matmul"):
         LubyColorer(None, backend="xla", resident_spec=(200, 0.05, 1))
+
+
+def test_hash_graph_er_statistics():
+    """The murmur-mix hash must produce a statistically sound G(n, p):
+    edge count within 4 sigma of Binomial(n(n-1)/2, p), degree mean and
+    variance near Binomial(n-1, p), and no degenerate vertex (the PRNG
+    quality claim in ops/hashgen.py's docstring, checked rather than
+    asserted)."""
+    n, p = 3000, 0.02
+    pairs = n * (n - 1) / 2
+    for seed in (0, 1, 2):
+        g = hashgen.hash_er_graph(n, p, seed)
+        mu, sigma = pairs * p, (pairs * p * (1 - p)) ** 0.5
+        assert abs(g.n_edges - mu) < 4 * sigma, (seed, g.n_edges, mu)
+        degs = g.degrees.astype(np.float64)
+        dmu, dvar = (n - 1) * p, (n - 1) * p * (1 - p)
+        assert abs(degs.mean() - dmu) < 0.05 * dmu
+        assert abs(degs.var() - dvar) < 0.25 * dvar
+        # independence smoke: adjacent seeds share ~p^2 of their edges,
+        # not more (distinct hash streams)
+    e0 = set(map(tuple, hashgen.hash_edges_reference(800, 0.05, 10)))
+    e1 = set(map(tuple, hashgen.hash_edges_reference(800, 0.05, 11)))
+    overlap = len(e0 & e1) / max(1, len(e0))
+    assert overlap < 0.08, overlap  # ~p=0.05 expected under independence
