@@ -279,7 +279,6 @@ def _check_resident_args(args) -> None:
             file=sys.stderr,
         )
         sys.exit(2)
-    on_mesh = bool(args.mesh_chains or args.mesh_shards)
     for flag, on in (
         ("--dbg", args.dbg),
         ("--active", args.active),

@@ -235,8 +235,10 @@ class Graph:
         # keep only the largest rectangle per graph: d_pad varies by
         # backend (8 vs 128 lanes) and n_pad by block size, but holding
         # more than one n·d_pad device array per graph risks doubling
-        # HBM at the scales where the cache matters most
-        if not cache or (n_pad, d_pad) >= max(cache):
+        # HBM at the scales where the cache matters most.  "Largest" by
+        # element count — a (smaller-n_pad, 128-lane) rectangle is 16x
+        # the bytes of a (larger-n_pad, 8-lane) one (review r4)
+        if not cache or n_pad * d_pad >= max(a * b for a, b in cache):
             cache.clear()
             cache[(n_pad, d_pad)] = ell
         return ell

@@ -118,6 +118,7 @@ def er_packed_on_device(
     if n_pad % row_chunk:
         raise ValueError(f"row_chunk must divide n_pad ({n_pad})")
     words = packed_adj_words(n_pad)
+    row_chunk = _wall_safe_chunk(row_chunk, words)
     t = jnp.uint32(er_threshold(p))
     seed32 = jnp.uint32(seed & 0xFFFFFFFF)
 
@@ -146,6 +147,8 @@ def er_packed_strips_on_device(
     the adjacency-strip build for generated graphs."""
     from jax.sharding import PartitionSpec as P
 
+    from jax.sharding import NamedSharding
+
     ms = mesh.shape["shards"]
     if n_pad % ms:
         raise ValueError(f"shards must divide n_pad ({n_pad})")
@@ -154,33 +157,50 @@ def er_packed_strips_on_device(
     while n_loc % row_chunk:
         row_chunk //= 2
     words = packed_adj_words(n_pad)
+    row_chunk = _wall_safe_chunk(row_chunk, words)
     t = jnp.uint32(er_threshold(p))
     seed32 = jnp.uint32(seed & 0xFFFFFFFF)
 
-    def body():
+    # HOST-DRIVEN bands, like parallel.sharded._build_packed_strips:
+    # one execution per band keeps every program far inside the ~60 s
+    # wall at any n (the O(n²/S) sweep must never be one program)
+    def band_body(a_loc, r0):
         shard_id = jax.lax.axis_index("shards")
         r_base = shard_id.astype(jnp.int32) * jnp.int32(n_loc)
-
-        def chunk(i, acc):
-            blk = _gen_packed_rows(
-                r_base + i * row_chunk, n, t, seed32, row_chunk, words
-            )
-            return jax.lax.dynamic_update_slice(
-                acc, blk, (i * row_chunk, 0)
-            )
-
-        return jax.lax.fori_loop(
-            0,
-            n_loc // row_chunk,
-            chunk,
-            jnp.zeros((n_loc, words), jnp.uint32),
+        blk = _gen_packed_rows(
+            r_base + r0, n, t, seed32, row_chunk, words
         )
+        return jax.lax.dynamic_update_slice(a_loc, blk, (r0, 0))
 
-    mapped = jax.shard_map(
-        body, mesh=mesh, in_specs=(), out_specs=P("shards", None),
-        check_vma=False,
+    band = jax.jit(
+        jax.shard_map(
+            band_body,
+            mesh=mesh,
+            in_specs=(P("shards", None), P()),
+            out_specs=P("shards", None),
+            check_vma=False,
+        ),
+        donate_argnums=(0,),
     )
-    return jax.jit(mapped)()
+    a = jax.jit(
+        lambda: jnp.zeros((n_pad, words), jnp.uint32),
+        out_shardings=NamedSharding(mesh, P("shards", None)),
+    )()
+    for r0 in range(0, n_loc, row_chunk):
+        a = band(a, jnp.int32(r0))
+    return a
+
+
+def _wall_safe_chunk(
+    row_chunk: int, words: int, budget_hashes: int = 2_500_000_000
+) -> int:
+    """Halve ``row_chunk`` (preserving divisibility) until one band's
+    hash count (rows × words × 32) stays a few seconds of device time —
+    single executions past ~60 s crash the TPU worker."""
+    cap = max(128, budget_hashes // max(words * 32, 1))
+    while row_chunk > cap and row_chunk > 128:
+        row_chunk //= 2
+    return row_chunk
 
 
 def er_degrees_on_device(
@@ -196,6 +216,7 @@ def er_degrees_on_device(
     t = jnp.uint32(er_threshold(p))
     seed32 = jnp.uint32(seed & 0xFFFFFFFF)
     if mesh is None:
+        row_chunk = _wall_safe_chunk(row_chunk, words)
         deg_rows = jax.jit(
             lambda r0: jnp.sum(
                 jax.lax.population_count(
@@ -210,36 +231,44 @@ def er_degrees_on_device(
         )
         return out[:n]
 
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     ms = mesh.shape["shards"]
     n_loc = -(-n // (ms * row_chunk)) * row_chunk  # rows per shard
+    row_chunk = _wall_safe_chunk(row_chunk, words)
 
-    def body():
+    # HOST-DRIVEN bands (CLAUDE.md: single device executions past ~60 s
+    # crash the worker; the O(n²/S) sweep must never be one program)
+    def band_body(deg_loc, r0):
         shard_id = jax.lax.axis_index("shards")
         r_base = shard_id.astype(jnp.int32) * jnp.int32(n_loc)
-
-        def chunk(i, acc):
-            deg = jnp.sum(
-                jax.lax.population_count(
-                    _gen_packed_rows(
-                        r_base + i * row_chunk, n, t, seed32,
-                        row_chunk, words,
-                    )
-                ).astype(jnp.int32),
-                axis=1,
-            )
-            return jax.lax.dynamic_update_slice(acc, deg, (i * row_chunk,))
-
-        return jax.lax.fori_loop(
-            0, n_loc // row_chunk, chunk, jnp.zeros((n_loc,), jnp.int32)
+        deg = jnp.sum(
+            jax.lax.population_count(
+                _gen_packed_rows(
+                    r_base + r0, n, t, seed32, row_chunk, words
+                )
+            ).astype(jnp.int32),
+            axis=1,
         )
+        return jax.lax.dynamic_update_slice(deg_loc, deg, (r0,))
 
-    mapped = jax.shard_map(
-        body, mesh=mesh, in_specs=(), out_specs=P("shards"),
-        check_vma=False,
+    band = jax.jit(
+        jax.shard_map(
+            band_body,
+            mesh=mesh,
+            in_specs=(P("shards"), P()),
+            out_specs=P("shards"),
+            check_vma=False,
+        ),
+        donate_argnums=(0,),
     )
-    return jax.jit(mapped)()[:n]
+    deg = jax.jit(
+        lambda: jnp.zeros((ms * n_loc,), jnp.int32),
+        out_shardings=NamedSharding(mesh, P("shards")),
+    )()
+    for r0 in range(0, n_loc, row_chunk):
+        deg = band(deg, jnp.int32(r0))
+    return deg[:n]
 
 
 def degrees_from_packed(adj) -> jnp.ndarray:

@@ -156,6 +156,24 @@ class ShardedMCMCColorer:
                     "resident graph never materialises)"
                 )
             rn, rp, rseed = resident_spec
+            # HBM precheck FIRST: past the per-shard strip cap even the
+            # degree sweep is an over-wall device program — refuse with
+            # the clean error before touching the device (review r4)
+            from mcmc_colorer_tpu.ops.dense_adj import packed_adj_words
+
+            ms_pre = mesh.shape["shards"]
+            n_loc_pre = (
+                ((-(-rn // ms_pre) + 127) // 128) * 128
+            )
+            strip_bytes = n_loc_pre * packed_adj_words(
+                ms_pre * n_loc_pre
+            ) * 4
+            if strip_bytes > 12 * 1024**3:
+                raise ValueError(
+                    f"packed adjacency strip needs "
+                    f"{strip_bytes/1e9:.1f} GB per shard at "
+                    f"n={rn} over {ms_pre} shards; add shards"
+                )
             if params.n_colors <= 0:
                 from mcmc_colorer_tpu.config import default_n_colors
                 from mcmc_colorer_tpu.ops.hashgen import (
