@@ -88,15 +88,31 @@ class LubyColorer:
                 _StatsShim,
                 _round_up,
             )
+            from mcmc_colorer_tpu.ops.dense_adj import (
+                PACKED_ADJ_MAX_N,
+                packed_adj_bytes,
+            )
             from mcmc_colorer_tpu.ops.hashgen import (
                 degrees_from_packed,
-                er_packed_on_device,
+                er_packed_on_device_cached,
             )
 
             rn, rp, rseed = resident_spec
             self.backend = "matmul"
             n_pad = _round_up(rn, 2048)
-            self._adj = er_packed_on_device(rn, rp, rseed, n_pad)
+            if n_pad > PACKED_ADJ_MAX_N:
+                # same clean refusal as ResidentMCMCColorer: past the
+                # packed-A HBM cap the O(n²/8)-byte device allocation
+                # would die mid-build instead of erroring up front
+                raise ValueError(
+                    f"resident graphs are bound to the packed-adjacency "
+                    f"HBM cap: n_pad={n_pad} > {PACKED_ADJ_MAX_N} "
+                    f"({packed_adj_bytes(n_pad) / 1e9:.1f} GB of A "
+                    f"bits). Larger graphs take the host/gather or "
+                    f"sharded-strip paths (models/luby.py classic, "
+                    f"parallel/sharded.py)."
+                )
+            self._adj = er_packed_on_device_cached(rn, rp, rseed, n_pad)
             degrees_dev = degrees_from_packed(self._adj)
             host_degrees = np.asarray(degrees_dev)[:rn]
             max_degree = int(host_degrees.max()) if rn else 0

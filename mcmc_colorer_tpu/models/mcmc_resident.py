@@ -52,7 +52,7 @@ from mcmc_colorer_tpu.models.mcmc import (
 from mcmc_colorer_tpu.ops.dense_adj import neighbor_color_counts
 from mcmc_colorer_tpu.ops.hashgen import (
     degrees_from_packed,
-    er_packed_on_device,
+    er_packed_on_device_cached,
 )
 from mcmc_colorer_tpu.utils import rng as rngu
 
@@ -185,10 +185,23 @@ class ResidentMCMCColorer:
                 f"paths (models/mcmc.py, parallel/sharded.py)."
             )
         t0 = time.perf_counter()
-        self.adj = er_packed_on_device(n, p, graph_seed, n_pad, row_chunk)
+        # gen_stats carries the forensic decomposition of the one-time
+        # cost (compile vs per-band execute, achieved hash rate,
+        # slow-device flag) — see ops/hashgen.er_packed_on_device
+        self.gen_stats: dict = {}
+        self.adj = er_packed_on_device_cached(
+            n, p, graph_seed, n_pad, row_chunk, stats=self.gen_stats
+        )
         degrees = degrees_from_packed(self.adj)
         self.max_degree = int(jnp.max(degrees))  # forces generation
         self.gen_seconds = time.perf_counter() - t0
+        self.gen_stats["degrees_s"] = round(
+            self.gen_seconds
+            - self.gen_stats.get("compile_s", 0.0)
+            - self.gen_stats.get("execute_s", 0.0)
+            - self.gen_stats.get("retry_band_s", 0.0),
+            3,
+        )
         self.host_degrees = np.asarray(degrees)[:n]
         self.n_edges = int(
             self.host_degrees.astype(np.int64).sum() // 2

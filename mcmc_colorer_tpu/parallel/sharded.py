@@ -162,9 +162,34 @@ class ShardedMCMCColorer:
             from mcmc_colorer_tpu.ops.dense_adj import packed_adj_words
 
             ms_pre = mesh.shape["shards"]
-            n_loc_pre = (
+            per_shard_pre = (
                 ((-(-rn // ms_pre) + 127) // 128) * 128
             )
+            # the real n_loc is per_shard rounded up to the block size
+            # chosen BELOW (which needs n_colors, possibly only known
+            # after the degree sweep) — so the precheck sizes the strip
+            # from the exact block when it is already determinable, and
+            # otherwise from the conservative upper bound
+            # n_loc < per_shard + block (block ≤ min(per_shard, 2^16)),
+            # so a borderline config refuses HERE instead of after the
+            # multi-minute mesh degree sweep (review r4)
+            if block_size or params.n_colors > 0:
+                blk_pre = min(
+                    block_size
+                    or choose_block_size(
+                        rn,
+                        params.n_colors
+                        * max(
+                            1,
+                            (n_chains or mesh.shape["chains"])
+                            // mesh.shape["chains"],
+                        ),
+                    ),
+                    per_shard_pre,
+                )
+                n_loc_pre = -(-per_shard_pre // blk_pre) * blk_pre
+            else:
+                n_loc_pre = per_shard_pre + min(per_shard_pre, 1 << 16)
             strip_bytes = n_loc_pre * packed_adj_words(
                 ms_pre * n_loc_pre
             ) * 4
@@ -172,7 +197,9 @@ class ShardedMCMCColorer:
                 raise ValueError(
                     f"packed adjacency strip needs "
                     f"{strip_bytes/1e9:.1f} GB per shard at "
-                    f"n={rn} over {ms_pre} shards; add shards"
+                    f"n={rn} over {ms_pre} shards (n_loc bound "
+                    f"{n_loc_pre}); add shards, or pass an explicit "
+                    f"block_size/n_colors to tighten the bound"
                 )
             if params.n_colors <= 0:
                 from mcmc_colorer_tpu.config import default_n_colors

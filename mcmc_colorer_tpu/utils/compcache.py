@@ -26,10 +26,14 @@ def enable(path: str | None = None) -> str | None:
     if path is None:
         path = os.environ.get("MCMC_COLORER_COMPILE_CACHE", _DEFAULT_DIR)
         # the env var doubles as the on/off gate (documented usage is
-        # MCMC_COLORER_COMPILE_CACHE=1): boolean-ish values mean "use
-        # the default dir", anything else is an explicit path
-        if path.strip().lower() in ("", "1", "true", "yes", "on"):
+        # MCMC_COLORER_COMPILE_CACHE=1): truthy boolean-ish values mean
+        # "use the default dir", falsy ones disable the cache entirely,
+        # anything else is an explicit path
+        v = path.strip().lower()
+        if v in ("", "1", "true", "yes", "on"):
             path = _DEFAULT_DIR
+        elif v in ("0", "false", "no", "off"):
+            return None
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
