@@ -72,6 +72,15 @@ class MCMCParams:
     tailcut: bool = False              # --tailcut
     proposal: ProposalKind = ProposalKind.BALANCE_DYNAMIC
     init: InitKind = InitKind.UNIFORM
+    seq_stall_escape: bool = False     # opt-in: back the sequential
+                                       # tailcut with the reference's own
+                                       # (dead-code) unlock_stall — random
+                                       # re-color of conflicting nodes when
+                                       # a greedy pass makes no progress
+                                       # (coloringMCMC_CPUutils.cpp:49-67).
+                                       # Default off: the faithful chain
+                                       # stalls exactly where the
+                                       # reference's would.
     hastings: bool = False             # reference ships with HASTINGS off
                                        # (coloringMCMC.h:41); here a runtime
                                        # option implementing the paper's

@@ -194,6 +194,8 @@ class Graph:
         pad_nodes_to: int = 8,
         pad_degree_to: int = 8,
         min_degree_pad: int = 1,
+        device_build: bool | None = None,
+        build_stats: dict | None = None,
     ) -> "EllGraph":
         """Pack the CSR into the padded ELL device layout.
 
@@ -201,6 +203,15 @@ class Graph:
         sentinel ``n_pad`` so that gathers through an extended color array
         land on an always-invalid color; phantom vertices have degree 0 and
         are excluded from histograms via ``EllGraph.node_mask``.
+
+        ``device_build`` selects where the rectangle is materialised:
+        True ships only the O(2m+n) CSR (the reference's own H2D
+        boundary, graphGPU.cu:211-226) and scatters the rectangle on the
+        device (``ops/ell_build.py``); False builds it host-side and
+        uploads [n_pad, d_pad] whole; None (default) picks the device
+        build when the rectangle is big enough that the saved transfer
+        clearly pays for the scatter (the tunnel moves ~9 MB/s; the
+        scatter moves >100M edges/s).
 
         Cached per (n_pad, d_pad): repeated colorers on one graph —
         ratio sweeps, CLI repetitions, ensembles — reuse the rectangle
@@ -214,19 +225,39 @@ class Graph:
         hit = cache.get((n_pad, d_pad))
         if hit is not None:
             return hit
-        neigh = np.full((n_pad, d_pad), n_pad, dtype=np.int32)
         degs = self.degrees
-        # scatter CSR rows into the rectangle
-        row = np.repeat(np.arange(self.n, dtype=np.int64), degs)
-        col = (
-            np.arange(self.cols.shape[0], dtype=np.int64)
-            - np.repeat(self.row_ptr[:-1], degs)
-        )
-        neigh[row, col] = self.cols
+        rect_bytes = n_pad * d_pad * 4
+        csr_bytes = (self.cols.shape[0] + self.n + 1) * 4
+        if device_build is None:
+            # auto: rectangle large enough that transfer dominates the
+            # remote band compile (~1-2 s), and meaningfully larger than
+            # the CSR (always true unless d_pad ~ d_mean with no skew)
+            device_build = (
+                rect_bytes > 32 * 1024 * 1024
+                and rect_bytes > 1.3 * csr_bytes
+            )
+        if device_build:
+            from mcmc_colorer_tpu.ops.ell_build import (
+                ell_neighbors_from_csr_device,
+            )
+
+            neigh_dev = ell_neighbors_from_csr_device(
+                self.row_ptr, self.cols, n_pad, d_pad, stats=build_stats
+            )
+        else:
+            neigh = np.full((n_pad, d_pad), n_pad, dtype=np.int32)
+            # scatter CSR rows into the rectangle
+            row = np.repeat(np.arange(self.n, dtype=np.int64), degs)
+            col = (
+                np.arange(self.cols.shape[0], dtype=np.int64)
+                - np.repeat(self.row_ptr[:-1], degs)
+            )
+            neigh[row, col] = self.cols
+            neigh_dev = jnp.asarray(neigh)
         degrees = np.zeros(n_pad, dtype=np.int32)
         degrees[: self.n] = degs
         ell = EllGraph(
-            neighbors=jnp.asarray(neigh),
+            neighbors=neigh_dev,
             degrees=jnp.asarray(degrees),
             n_nodes=self.n,
             n_edges=self.n_edges,

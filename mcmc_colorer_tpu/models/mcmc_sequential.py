@@ -186,7 +186,7 @@ class SequentialMCMCColorer:
 
         max_iter_reached = rip >= p.max_iterations
         if p.tailcut and n_viol > 0:
-            colors = self._tailcut(colors)
+            colors = self._tailcut(colors, rng=rng)
             viols = self._violating(colors)
             n_viol = int(viols.sum())
 
@@ -206,18 +206,42 @@ class SequentialMCMCColorer:
             },
         )
 
-    def _tailcut(self, colors: np.ndarray) -> np.ndarray:
+    def _tailcut(self, colors: np.ndarray, rng=None) -> np.ndarray:
         """Intended tailcut (_CPU.cpp:272-311 semantics without the :296
         bug): visit violating nodes, recolor to the first free color in
-        ascending-histogram order, until violation-free."""
+        ascending-histogram order, until violation-free.
+
+        With ``params.seq_stall_escape`` (opt-in), a pass that makes no
+        progress — the no-free-color deadlock the matrix recorded at a
+        0.2 stall rate for (p=0.04, ratio=4) — randomly re-colors the
+        conflicting nodes and retries: the reference's own intended
+        (dead-code) escape, unlock_stall
+        (coloringMCMC_CPUutils.cpp:49-67), already realized for the
+        device tailcut.  Default off: the faithful chain stalls exactly
+        where the reference's would."""
         g, p = self.graph, self.params
         colors = colors.copy()
         hist = np.bincount(colors, minlength=p.n_colors)
         order = np.argsort(hist, kind="stable")
+        prev_viol: int | None = None
         for _round in range(g.n + 1):
             viols = self._violating(colors)
             if not viols.any():
                 break
+            n_v = int(viols.sum())
+            if (
+                p.seq_stall_escape
+                and rng is not None
+                and prev_viol is not None
+                and n_v >= prev_viol
+            ):
+                idx = np.flatnonzero(viols)
+                colors[idx] = rng.integers(0, p.n_colors, size=idx.size)
+                hist = np.bincount(colors, minlength=p.n_colors)
+                order = np.argsort(hist, kind="stable")
+                prev_viol = None
+                continue
+            prev_viol = n_v
             for i in np.flatnonzero(viols):
                 neigh = g.neighbors_of(i)
                 occupied = np.zeros(p.n_colors, dtype=bool)
