@@ -116,6 +116,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="enable Metropolis-Hastings acceptance (off in the reference)",
     )
+    mc.add_argument(
+        "--seq-stall-escape",
+        action="store_true",
+        help="back the sequential tailcut with the reference's intended "
+        "unlock_stall (random re-color on a no-progress pass); default "
+        "off = faithful stall semantics",
+    )
     gen = p.add_argument_group("General")
     gen.add_argument("-R", "--repet", type=int, default=1)
     gen.add_argument(
@@ -174,8 +181,24 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="with --simulate: define the ER graph as a stateless hash "
         "and materialise the bit-packed adjacency ON the device (zero "
-        "bytes uploaded; models/mcmc_resident.py).  Full-sweep --mcmcgpu "
-        "only; --check re-derives the identical graph host-side",
+        "bytes uploaded; models/mcmc_resident.py).  --mcmcgpu full or "
+        "--active frontier sweeps (rows sliced from the packed matrix); "
+        "--check re-derives the identical graph host-side",
+    )
+    tpu.add_argument(
+        "--ckpt",
+        metavar="PATH",
+        help="write a chain checkpoint (.npz) at every host-driven "
+        "segment boundary; resident checkpoints exclude the graph "
+        "(it re-derives from (n, p, seed) on load)",
+    )
+    tpu.add_argument(
+        "--resume",
+        metavar="PATH",
+        help="resume repetition 0 from a checkpoint written by --ckpt "
+        "(bit-equal to the uninterrupted run).  Pass the same -S seed "
+        "as the writing run: the default seed is the clock, and a "
+        "resident resume refuses a mismatched graph seed",
     )
     tpu.add_argument(
         "--active",
@@ -279,9 +302,15 @@ def _check_resident_args(args) -> None:
             file=sys.stderr,
         )
         sys.exit(2)
+    if args.active and args.chains > 1 and not on_mesh:
+        print(
+            "--resident --active is single-chain (or mesh): drop "
+            "--chains or add --mesh-shards.",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     for flag, on in (
         ("--dbg", args.dbg),
-        ("--active", args.active),
         ("--anneal without a mesh", args.anneal and not on_mesh),
     ):
         if on:
@@ -459,8 +488,8 @@ class _BestOfWrapper:
     def __init__(self, inner):
         self.inner = inner
 
-    def run(self, seed, repetition=0):
-        best, _summaries = self.inner.run(seed, repetition)
+    def run(self, seed, repetition=0, **kw):
+        best, _summaries = self.inner.run(seed, repetition, **kw)
         return best
 
 
@@ -513,6 +542,7 @@ def main(argv=None) -> int:
             tailcut=args.tailcut,
             proposal=ProposalKind(args.proposal),
             hastings=args.hastings,
+            seq_stall_escape=args.seq_stall_escape,
         )
         if args.lubygpu:
             # NC-native Luby over the same hash graph (models/luby.py):
@@ -558,6 +588,9 @@ def main(argv=None) -> int:
                 anneal=AnnealConfig(enabled=args.anneal),
                 resident_spec=(args.nodes, args.simulate, seed),
                 num_col_ratio=ratio,
+                active_cap=(
+                    max(128, args.nodes // 8) if args.active else None
+                ),
             )
             resident = _BestOfWrapper(inner)
             if not args.quiet:
@@ -579,6 +612,7 @@ def main(argv=None) -> int:
                 params=template,
                 num_col_ratio=ratio,
                 n_chains=max(1, args.chains),
+                active=args.active,
             )
             resident = inner
             if not args.quiet:
@@ -607,6 +641,7 @@ def main(argv=None) -> int:
             tailcut=args.tailcut,
             proposal=ProposalKind(args.proposal),
             hastings=args.hastings,
+            seq_stall_escape=args.seq_stall_escape,
         )
     graph_name = (
         g.name
@@ -631,7 +666,16 @@ def main(argv=None) -> int:
             colorer = _make_colorer(kind, g, args, params)
         tag = _ALGO_TAG[kind]
         for rep in range(args.repet):
-            result = colorer.run(seed, repetition=rep)
+            run_kw = {}
+            target = getattr(colorer, "inner", colorer)
+            if (args.ckpt or args.resume) and hasattr(
+                target, "save_checkpoint"
+            ):
+                if args.ckpt:
+                    run_kw["checkpoint_path"] = args.ckpt
+                if args.resume and rep == 0:
+                    run_kw["resume_from"] = args.resume
+            result = colorer.run(seed, repetition=rep, **run_kw)
             log_path, _ = save_run(
                 out_dir,
                 graph_name,

@@ -478,7 +478,34 @@ class MCMCColorer:
         # segment bears the sweep compile and is discarded.
         rent = {"first": True, "prev": 0, "s": 0.0, "iters": 0}
 
+        # per-segment free-color TRACE (the reference's getStatsFreeColors
+        # verbose lines, coloringMCMC_prints.cu:117-131): granularity is
+        # the host-driven segment boundary, so TRACE-off runs pay nothing
+        # and the in-loop carry is untouched
+        from mcmc_colorer_tpu.utils import term
+
+        fc_segments: list = []
+        trace_free = term.trace_enabled() and isinstance(
+            self.ell, EllGraph
+        )
+        if trace_free and not hasattr(self, "_jit_free"):
+            self._jit_free = jax.jit(
+                partial(
+                    _free_color_stats,
+                    n_colors=params.n_colors,
+                    block=self.block,
+                )
+            )
+
         def on_seg(state, steps, budget, elapsed):
+            if trace_free:
+                mn, mx, avg = self._jit_free(self.ell, state[0])
+                mn, mx, avg = int(mn), int(mx), float(avg)
+                fc_segments.append((mn, mx, avg))
+                term.trace(
+                    f"Max Free Colors: {mx} - Min Free Colors: {mn} - "
+                    f"AVG Free Colors: {avg:g}"
+                )
             delta = int(steps) - rent["prev"]
             rent["prev"] = int(steps)
             if not (self._auto_deferred and self._adj is None):
@@ -545,6 +572,11 @@ class MCMCColorer:
                 "final_conflicts": int(conflicts),
                 "max_iter_reached": rip >= self.params.max_iterations,
                 "tailcut_rounds": int(tailcut_rounds),
+                **(
+                    {"free_color_trace_segments": fc_segments}
+                    if fc_segments
+                    else {}
+                ),
             },
         )
 
@@ -1438,6 +1470,47 @@ def _chain_init(ell, key, *, params: MCMCParams, fused: bool):
         trace0,
         jnp.bool_(False),
     )
+
+
+def _free_color_stats(ell, colors, *, n_colors: int, block: int):
+    """(min, max, avg) free colors over real vertices of the CURRENT
+    coloring — the device-chain rendition of the reference's verbose
+    getStatsFreeColors (coloringMCMC_prints.cu:117-131): freeColors[i] =
+    nCol − |{colors of N(i)}|.  Computed blockwise from the ELL (one
+    gather sweep), host-driven at segment boundaries under TRACE — the
+    in-loop carry stays 7-tuple and TRACE-off runs pay nothing."""
+    n_pad, d_pad = ell.neighbors.shape
+    n_blocks = n_pad // block
+    # sentinel neighbor id n_pad gathers the extra color n_colors,
+    # which lands in the ignored overflow column of the occupancy map
+    ext = jnp.concatenate(
+        [colors, jnp.full((1,), n_colors, jnp.int32)]
+    )
+
+    def blk(nb):
+        ncol = ext[jnp.minimum(nb, n_pad)]
+        occ = (
+            jnp.zeros((block, n_colors + 1), jnp.bool_)
+            .at[
+                jnp.arange(block, dtype=jnp.int32)[:, None],
+                jnp.minimum(ncol, n_colors),
+            ]
+            .set(True)
+        )
+        return n_colors - jnp.sum(
+            occ[:, :n_colors], axis=1, dtype=jnp.int32
+        )
+
+    free = jax.lax.map(
+        blk, ell.neighbors.reshape(n_blocks, block, d_pad)
+    ).reshape(n_pad)
+    mask = ell.node_mask
+    mn = jnp.min(jnp.where(mask, free, jnp.int32(n_colors + 1)))
+    mx = jnp.max(jnp.where(mask, free, jnp.int32(-1)))
+    avg = jnp.sum(jnp.where(mask, free, 0)) / jnp.maximum(
+        ell.n_nodes, 1
+    )
+    return mn, mx, avg
 
 
 def _chain_segment(

@@ -294,6 +294,35 @@ class ActiveMCMCColorer:
 # --------------------------- jitted pieces ---------------------------------
 
 
+def _rows_of(ell, ids, valid, adj_packed=None, d_row=None):
+    """Frontier neighbor-id rows: gathered from the stored ELL, or —
+    on resident hash graphs that never materialise one — sliced from
+    the packed adjacency and unpacked to ascending id lists
+    (ops/dense_adj.packed_rows_to_ids; VERDICT r4 item 3).  Every
+    consumer is order-invariant, so the two sources are
+    interchangeable (tested)."""
+    if adj_packed is None:
+        return take_rows(ell, ids, valid)
+    from mcmc_colorer_tpu.ops.dense_adj import packed_rows_to_ids
+
+    n_pad = ell.n_pad
+    bits = jnp.take(adj_packed, jnp.minimum(ids, n_pad - 1), axis=0)
+    rows = packed_rows_to_ids(bits, d_row, n_pad)
+    return jnp.where(valid[:, None], rows, jnp.int32(n_pad))
+
+
+def _cnt_of_packed(adj, colors, *, params: MCMCParams, node_mask):
+    """NC-native rendition of `_cnt_of` for resident graphs (the shim
+    ELL is edgeless): cnt[i] = NC[i, c_i] via one contraction."""
+    from mcmc_colorer_tpu.ops.dense_adj import neighbor_color_counts
+
+    nc = neighbor_color_counts(adj, colors, params.n_colors, node_mask)
+    own = jnp.take_along_axis(
+        nc, jnp.minimum(colors, nc.shape[1] - 1)[:, None], axis=1
+    )[:, 0]
+    return jnp.where(node_mask, own, 0)
+
+
 @jax.jit
 def _stats(cnt, taboo):
     viol = cnt > 0
@@ -360,9 +389,12 @@ def _active_iteration(
     cap: int,
     params: MCMCParams,
     backend: str,
+    adj_packed=None,
+    d_row: int | None = None,
 ):
     """Resample the ≤cap active vertices; apply passive dynamics to the
-    rest; maintain cnt incrementally."""
+    rest; maintain cnt incrementally.  With ``adj_packed`` the frontier
+    rows come from the packed adjacency (resident graphs)."""
     n_pad = ell.n_pad
     n_colors = params.n_colors
     t_iter = jnp.int32(params.taboo_iterations)
@@ -375,7 +407,7 @@ def _active_iteration(
     valid = active_ids < n_pad
     ids_c = jnp.minimum(active_ids, n_pad - 1)
 
-    rows = take_rows(ell, active_ids, valid)
+    rows = _rows_of(ell, active_ids, valid, adj_packed, d_row)
     cur = jnp.where(
         valid, jnp.take(colors, ids_c), jnp.int32(n_colors)
     )
@@ -476,7 +508,16 @@ def _active_iteration(
     # amortized to ~never at reference ε
     cnt_next = jax.lax.cond(
         fv_ok,
-        lambda: _cnt_of(ell, colors_next, params=params),
+        lambda: (
+            _cnt_of_packed(
+                adj_packed,
+                colors_next,
+                params=params,
+                node_mask=ell.node_mask,
+            )
+            if adj_packed is not None
+            else _cnt_of(ell, colors_next, params=params)
+        ),
         lambda: cnt_next,
     )
     return colors_next, taboo_next, cnt_next
@@ -491,6 +532,8 @@ def _tailcut_round(
     *,
     cap: int,
     params: MCMCParams,
+    adj_packed=None,
+    d_row: int | None = None,
 ):
     """One frontier-sized greedy round: conflicting vertices (cnt>0) with
     no lower-id conflicting neighbor move to their first free color in
@@ -503,7 +546,7 @@ def _tailcut_round(
     (ids,) = jnp.nonzero(flagged, size=cap, fill_value=n_pad)
     valid = ids < n_pad
     ids_c = jnp.minimum(ids, n_pad - 1)
-    rows = take_rows(ell, ids, valid)
+    rows = _rows_of(ell, ids, valid, adj_packed, d_row)
     cur = jnp.where(valid, jnp.take(colors, ids_c), jnp.int32(n_colors))
     nc = neighbor_colors(rows, colors)
 

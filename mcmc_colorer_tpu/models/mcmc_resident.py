@@ -168,6 +168,7 @@ class ResidentMCMCColorer:
         row_chunk: int = 2048,
         num_col_ratio: float = 1.0,
         n_chains: int = 1,
+        active: bool = False,
     ) -> None:
         from mcmc_colorer_tpu.ops.dense_adj import (
             PACKED_ADJ_MAX_N,
@@ -244,6 +245,40 @@ class ResidentMCMCColorer:
         self._jit_conf = jax.jit(
             partial(conflicts_from_packed, n_colors=params.n_colors)
         )
+        # active (frontier) mode: after the full-sweep phase shrinks the
+        # conflict set, resample only the ≤cap frontier — its neighbor
+        # rows are SLICED from the resident packed adjacency and
+        # unpacked on device (ops/dense_adj.packed_rows_to_ids), so the
+        # frontier sweeps the hash graph was thought to preclude
+        # (VERDICT r4 item 3) need no stored ELL at all
+        self.active = active
+        if active:
+            if n_chains > 1:
+                raise NotImplementedError(
+                    "active resident mode is single-chain (the frontier "
+                    "ladder compiles per cap; vmapping it multiplies "
+                    "programs) — use n_chains>1 with full sweeps"
+                )
+            if params.hastings:
+                raise NotImplementedError(
+                    "active-set mode implements the shipped "
+                    "always-accept dynamics (see models/mcmc_active.py)"
+                )
+            from mcmc_colorer_tpu.models.mcmc_active import (
+                _cnt_of_packed,
+                _stats,
+            )
+
+            self._d_row = _round_up(max(self.max_degree, 8), 8)
+            self._jit_cnt_packed = jax.jit(
+                partial(
+                    _cnt_of_packed,
+                    params=params,
+                    node_mask=self.ell.node_mask,
+                )
+            )
+            self._jit_stats = jax.jit(_stats)
+            self._active_fns: dict = {}
         # ensemble mode: vmapped lock-step chains over the ONE resident
         # adjacency (the reference's repeated-run flow, main.cu:171-189,
         # batched; best-of-chains selection like parallel/chains.py)
@@ -303,10 +338,194 @@ class ResidentMCMCColorer:
 
         return hash_er_graph(self.n, self.p, self.graph_seed, name=self.name)
 
-    def run(self, seed: int, repetition: int = 0) -> Coloring:
+    # -- checkpoint/resume (SURVEY §6; the reference has none) ----------
+    # The graph itself NEVER enters the artifact: it re-derives from
+    # (n, p, graph_seed) on load, so a resident checkpoint is only the
+    # chain state — colors + taboo + key + iteration + trace (+ batch
+    # axis for ensembles).  Resuming mid-chain is bit-equal to the
+    # uninterrupted run (segments are bit-equal to one execution).
+
+    def save_checkpoint(self, carry, path: str) -> None:
+        colors, taboo, key, rip, conf, trace, done = carry
+        np.savez(
+            path,
+            colors=np.asarray(colors),
+            taboo=np.asarray(taboo),
+            key=np.asarray(jax.random.key_data(key)),
+            iteration=np.asarray(rip),
+            conf_last=np.asarray(conf),
+            trace=np.asarray(trace),
+            done=np.asarray(done),
+            n=self.n,
+            p=self.p,
+            graph_seed=self.graph_seed,
+            n_colors=self.params.n_colors,
+        )
+
+    def load_checkpoint(self, path: str):
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        d = np.load(path)
+        spec = (int(d["n"]), float(d["p"]), int(d["graph_seed"]))
+        assert spec == (self.n, float(self.p), self.graph_seed), (
+            f"resident graph spec mismatch: checkpoint {spec} vs "
+            f"colorer {(self.n, float(self.p), self.graph_seed)}"
+        )
+        assert int(d["n_colors"]) == self.params.n_colors, "palette mismatch"
+        trace_ck = np.asarray(d["trace"])
+        width = self.params.max_iterations + 1
+        # the trace rectangle is sized by max_iterations: a resume into
+        # a longer-horizon colorer pads the saved prefix with zeros
+        if trace_ck.shape[-1] < width:
+            pad = [(0, 0)] * (trace_ck.ndim - 1) + [
+                (0, width - trace_ck.shape[-1])
+            ]
+            trace_ck = np.pad(trace_ck, pad)
+        else:
+            trace_ck = trace_ck[..., :width]
+        return (
+            jnp.asarray(d["colors"]),
+            jnp.asarray(d["taboo"]),
+            jax.random.wrap_key_data(jnp.asarray(d["key"])),
+            jnp.asarray(d["iteration"]),
+            jnp.asarray(d["conf_last"]),
+            jnp.asarray(trace_ck),
+            jnp.asarray(d["done"]),
+        )
+
+    def _run_active(self, seed: int, repetition: int = 0) -> Coloring:
+        """Hybrid full→frontier chain over the resident adjacency:
+        full matmul sweeps (short host-driven budgets) until the
+        conflict set shrinks, then ≤cap frontier resamples whose rows
+        are sliced+unpacked from the packed matrix — the resident
+        rendition of models/mcmc_active.py (reference analogue: only
+        violating nodes effectively move at reference ε,
+        coloringMCMC_CPU.cpp:471-479)."""
+        from mcmc_colorer_tpu.models.mcmc_active import (
+            _active_iteration,
+            _buckets,
+            pick_cap,
+        )
+
+        params, ell = self.params, self.ell
+        n_pad = ell.n_pad
+        z = params.tailcut_threshold(self.n)
+        key = rngu.for_repetition(rngu.root_key(seed), repetition)
+        t0 = time.perf_counter()
+        carry = self._jit_init(ell, key)
+        switch_at = n_pad // 8
+        # phase 1: full matmul sweeps, small budgets so the switch
+        # point is observed promptly (each budget is one execution of
+        # the same compiled segment program)
+        while True:
+            rip = int(carry[3])
+            if rip >= params.max_iterations or bool(carry[6]):
+                break
+            b = min(4, params.max_iterations - rip)
+            carry = self._jit_segment(
+                ell, self.adj, carry, jnp.int32(b)
+            )
+            if bool(carry[6]):
+                break
+            if 2 * int(carry[4]) < switch_at:
+                break
+        colors, taboo, key, rip_t, _conf, trace_full, _done = carry
+        rip = int(rip_t)
+        trace = np.asarray(trace_full)[: rip + 1].tolist()
+
+        backend = (
+            "pallas"
+            if jax.default_backend() not in ("cpu", "gpu")
+            else "xla"
+        )
+        caps = _buckets(n_pad, 128, 16 if backend == "pallas" else 4)
+        cnt = self._jit_cnt_packed(self.adj, colors)
+        conflicts = 0
+        while rip < params.max_iterations:
+            n_active, conflicts = map(
+                int, jax.device_get(self._jit_stats(cnt, taboo))
+            )
+            trace.append(conflicts)
+            if conflicts <= z:
+                break
+            rip += 1
+            key, k_it = jax.random.split(key)
+            cap = pick_cap(caps, n_active)
+            fn = self._active_fns.get(cap)
+            if fn is None:
+                fn = jax.jit(
+                    partial(
+                        _active_iteration,
+                        params=params,
+                        backend=backend,
+                        d_row=self._d_row,
+                    ),
+                    static_argnames=("cap",),
+                )
+                self._active_fns[cap] = fn
+            colors, taboo, cnt = fn(
+                ell, colors, taboo, cnt, k_it,
+                cap=cap, adj_packed=self.adj,
+            )
+        # tailcut: identical NC-native independent-set repair as the
+        # full-sweep driver
+        tc_rounds = 0
+        if params.tailcut and conflicts > 0:
+            max_rounds = 16 + 2 * conflicts
+            nc_carry = None
+            conflicts_j = jnp.int32(conflicts)
+            while int(conflicts_j) > 0 and tc_rounds < max_rounds:
+                key, k_r = jax.random.split(key)
+                colors, conflicts_j, nc_carry = _tailcut_nc_round(
+                    self.adj,
+                    colors,
+                    k_r,
+                    ell.node_mask,
+                    nc_carry,
+                    n_colors=params.n_colors,
+                )
+                tc_rounds += 1
+            conflicts = int(conflicts_j)
+        out = np.asarray(jax.device_get(colors))[: self.n]
+        return Coloring(
+            colors=out,
+            n_colors=params.n_colors,
+            iterations=rip,
+            converged=conflicts == 0 or conflicts <= z,
+            duration_ms=(time.perf_counter() - t0) * 1e3,
+            conflict_trace=np.asarray(trace, dtype=np.int64),
+            extra={
+                "final_conflicts": conflicts,
+                "max_iter_reached": rip >= params.max_iterations,
+                "tailcut_rounds": tc_rounds,
+                "resident": True,
+                "active": True,
+                "gen_seconds": self.gen_seconds,
+            },
+        )
+
+    def run(
+        self,
+        seed: int,
+        repetition: int = 0,
+        checkpoint_path: str | None = None,
+        resume_from: str | None = None,
+    ) -> Coloring:
+        if self.active:
+            if checkpoint_path or resume_from:
+                raise NotImplementedError(
+                    "checkpointing covers the full-sweep resident "
+                    "drivers; the active loop's cnt re-derives from "
+                    "colors, so resume support is a trivial extension "
+                    "if needed"
+                )
+            return self._run_active(seed, repetition)
         if self.n_chains > 1:
             best, self.last_summaries = self.run_ensemble(
-                seed, repetition
+                seed,
+                repetition,
+                checkpoint_path=checkpoint_path,
+                resume_from=resume_from,
             )
             return best
         from mcmc_colorer_tpu.utils.segmented import drive_segments
@@ -315,11 +534,18 @@ class ResidentMCMCColorer:
         z = params.tailcut_threshold(self.n)
         key = rngu.for_repetition(rngu.root_key(seed), repetition)
         t0 = time.perf_counter()
-        carry = self._jit_init(self.ell, key)
+        if resume_from:
+            carry = self.load_checkpoint(resume_from)
+        else:
+            carry = self._jit_init(self.ell, key)
 
         def progress(c):
             rip = int(c[3])
             return rip, bool(c[6]) or rip >= params.max_iterations
+
+        def on_seg(state, steps, budget, elapsed):
+            if checkpoint_path:
+                self.save_checkpoint(state, checkpoint_path)
 
         carry = drive_segments(
             lambda c, b: self._jit_segment(
@@ -327,6 +553,7 @@ class ResidentMCMCColorer:
             ),
             carry,
             progress,
+            on_segment=on_seg,
         )
         colors, _taboo, key, rip, conf_last, trace, done = carry
         # converged loops already measured the final coloring in-loop; a
@@ -372,7 +599,13 @@ class ResidentMCMCColorer:
             },
         )
 
-    def run_ensemble(self, seed: int, repetition: int = 0):
+    def run_ensemble(
+        self,
+        seed: int,
+        repetition: int = 0,
+        checkpoint_path: str | None = None,
+        resume_from: str | None = None,
+    ):
         """Lock-step ``n_chains`` independent chains over the shared
         resident adjacency; returns (best Coloring, summaries) with the
         same best-of-chains rule as ``parallel/chains.py`` (fewest
@@ -386,12 +619,22 @@ class ResidentMCMCColorer:
             jnp.arange(self.n_chains, dtype=jnp.uint32)
         )
         t0 = time.perf_counter()
-        carry = self._jit_init_v(self.ell, keys)
+        if resume_from:
+            carry = self.load_checkpoint(resume_from)
+            assert carry[0].shape[0] == self.n_chains, (
+                "checkpoint chain count mismatch"
+            )
+        else:
+            carry = self._jit_init_v(self.ell, keys)
 
         def progress(c):
             rips_h = np.asarray(c[3])
             active = ~np.asarray(c[6]) & (rips_h < params.max_iterations)
             return int(rips_h.max()), not active.any()
+
+        def on_seg(state, steps, budget, elapsed):
+            if checkpoint_path:
+                self.save_checkpoint(state, checkpoint_path)
 
         carry = drive_segments(
             lambda c, b: self._jit_segment_v(
@@ -399,6 +642,7 @@ class ResidentMCMCColorer:
             ),
             carry,
             progress,
+            on_segment=on_seg,
         )
         colors, _taboo, keyv, rips, _conf_last, traces, _done = carry
         # one batched NC pass gives every chain's exact conflict count

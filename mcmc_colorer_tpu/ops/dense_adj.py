@@ -461,6 +461,43 @@ def packed_bit_coords(v: np.ndarray):
     return word, bit
 
 
+def packed_rows_to_ids(bits, d_row: int, n_pad: int):
+    """[k, words] packed adjacency rows → [k, d_row] ASCENDING neighbor
+    id lists (sentinel ``n_pad`` pads short rows).
+
+    This is how the resident paths serve frontier sweeps (round 5,
+    VERDICT r4 item 3): the packed matrix / strip already holds every
+    row, so a ≤cap frontier gathers its [cap, words] bit rows (k·n/8
+    bytes — tiny) and unpacks them to the id lists the active-set
+    kernels consume.  No stored ELL, no per-sweep hashing.  Neighbor
+    order differs from the CSR ELL (ascending vs insertion order), but
+    every consumer is order-invariant (occupancy, NC, cnt recounts are
+    set/sum reductions); bit-equality of the id SETS is tested against
+    the host ELL.  Callers pass ``d_row`` ≥ max degree."""
+    import jax.numpy as jnp
+
+    k, words = bits.shape
+    b = jnp.arange(32, dtype=jnp.uint32)
+    m = ((bits[:, :, None] >> b[None, None, :]) & jnp.uint32(1)) != 0
+    w = jnp.arange(words, dtype=jnp.int32)
+    col = (
+        (w // 128)[:, None] * PACKED_K_CHUNK
+        + b.astype(jnp.int32)[None, :] * 128
+        + (w % 128)[:, None]
+    )  # [words, 32] column of (word, bit) — inverse of packed_bit_coords
+    idx = jnp.where(m, col[None], jnp.int32(n_pad))
+    # lax.slice, not [:, :d_row]: the python slice routes through the
+    # dynamic-gather path when the operand carries a sharding, and its
+    # bound then fails the static-slice check
+    import jax
+
+    return jax.lax.slice(
+        jnp.sort(idx.reshape(k, words * 32), axis=1),
+        (0, 0),
+        (k, d_row),
+    )
+
+
 def build_packed_adjacency(graph, n_pad: int):
     """[n_pad, words] uint32 bit-packed adjacency on the default device,
     in the ``packed_bit_coords`` bit order.

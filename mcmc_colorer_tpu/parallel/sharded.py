@@ -149,12 +149,12 @@ class ShardedMCMCColorer:
                     "resident_spec implies the adjacency-strip backend "
                     f"(matmul); got {backend!r}"
                 )
-            if active_cap is not None:
-                raise NotImplementedError(
-                    "resident sharded chains run full sweeps (the "
-                    "frontier branch gathers neighbor rows, which the "
-                    "resident graph never materialises)"
-                )
+            # round 5 (VERDICT r4 item 3): frontier sweeps compose
+            # with resident graphs — the per-shard packed strip already
+            # holds every owned row, so the active branch slices its
+            # ≤cap [cap, words] bit rows from the strip and unpacks
+            # them to id lists on device (packed_rows_to_ids); no
+            # stored neighbor lists needed
             rn, rp, rseed = resident_spec
             # HBM precheck FIRST: past the per-shard strip cap even the
             # degree sweep is an over-wall device program — refuse with
@@ -364,6 +364,11 @@ class ShardedMCMCColorer:
                 n_nodes=self.graph.n,
                 backend=backend,
                 active_cap=active_cap,
+                rows_from_strip=(
+                    ((self.graph.max_degree + 7) // 8) * 8
+                    if self._resident and active_cap is not None
+                    else None
+                ),
             )
         )
 
@@ -372,6 +377,7 @@ class ShardedMCMCColorer:
     _STATE_FIELDS = (
         "colors", "taboo", "cnt", "keydata", "rip",
         "conflicts", "trace", "eps_scale", "prev_pooled", "stall",
+        "accstats",
     )
 
     def _state_shardings(self):
@@ -387,6 +393,7 @@ class ShardedMCMCColorer:
             NS(P()),
             NS(P()),
             NS(P()),
+            NS(P("chains", None)),
         )
 
     def _sharded_neighbors(self):
@@ -401,7 +408,7 @@ class ShardedMCMCColorer:
         return self._neigh_sharded
 
     def init_state(self, seed: int, repetition: int = 0):
-        """Fresh ensemble state (the 10-tuple of `_sharded_init`)."""
+        """Fresh ensemble state (the 11-tuple of `_sharded_init`)."""
         root = rngu.for_repetition(rngu.root_key(seed), repetition)
         keys = jax.vmap(lambda c: rngu.for_chain(root, c))(
             jnp.arange(self.n_chains, dtype=jnp.uint32)
@@ -463,7 +470,13 @@ class ShardedMCMCColorer:
             return out
 
         return tuple(
-            _put_global(repad(name, d[name]), sh)
+            _put_global(
+                repad(name, d[name])
+                if name in d.files
+                # pre-round-5 checkpoints lack the acceptance counters
+                else np.zeros((self.n_chains, 2), np.int32),
+                sh,
+            )
             for name, sh in zip(self._STATE_FIELDS, self._state_shardings())
         )
 
@@ -535,6 +548,7 @@ class ShardedMCMCColorer:
         colors, rip, conflicts, traces, eps_scale = (
             state[0], state[4], state[5], state[6], state[7]
         )
+        accstats = _host_get(state[10])
         colors = _host_get(colors)[:, : self.graph.n]
         conflicts = _host_get(conflicts).copy()
         traces = _host_get(traces)
@@ -642,6 +656,8 @@ class ShardedMCMCColorer:
                 "chain": int(i),
                 "conflicts": int(conflicts[i]),
                 "class_std": float(stds[i]),
+                "accepted_sweeps": int(accstats[i, 0]),
+                "attempted_sweeps": int(accstats[i, 1]),
             }
             for i in range(self.n_chains)
         ]
@@ -659,6 +675,8 @@ class ShardedMCMCColorer:
                 "n_chains": self.n_chains,
                 "tailcut_rounds": tc_rounds,
                 "final_eps_scale": float(eps_scale),
+                "accepted_sweeps": int(accstats[best, 0]),
+                "attempted_sweeps": int(accstats[best, 1]),
             },
         )
         return coloring, summaries
@@ -805,6 +823,7 @@ def _run_sharded_segment(
     n_nodes: int,
     backend: str = "xla",
     active_cap: int | None = None,
+    rows_from_strip: int | None = None,
 ):
     """Advance the sharded ensemble from ``state`` until every chain
     converged or ``rip`` reaches ``rip_limit`` (a traced scalar — ONE
@@ -833,6 +852,7 @@ def _run_sharded_segment(
         eps0,
         pp0,
         stall0,
+        accstats0,
         rip_lim,
     ):
         shard_id = jax.lax.axis_index("shards")
@@ -902,6 +922,7 @@ def _run_sharded_segment(
                 eps_scale,
                 prev_pooled,
                 stall,
+                accstats,
             ) = carry
             active = conflicts > z  # [cl]
             eps_eff = jnp.minimum(
@@ -1233,7 +1254,11 @@ def _run_sharded_segment(
                     )
                     star_full = jnp.where(accept, star_full, cf)
                     cnt_star = jnp.where(accept, cnt_star, cnt_c)
-                return star_full, new_tb, cnt_star, key
+                else:
+                    # the shipped reference swaps unconditionally
+                    # (SURVEY §9.2): every sweep counts as accepted
+                    accept = jnp.bool_(True)
+                return star_full, new_tb, cnt_star, key, accept
 
             def active_branch(cf, tb, cnt_c, key):
                 """Frontier sweep: resample only the ≤cap eligible owned
@@ -1249,7 +1274,21 @@ def _run_sharded_segment(
                 lvalid = lids < n_loc
                 lids_c = jnp.minimum(lids, n_loc - 1)
                 gids = jnp.where(lvalid, offset + lids, jnp.int32(n_pad))
-                rows = jnp.take(neigh_loc, lids_c, axis=0)
+                if rows_from_strip is not None:
+                    from mcmc_colorer_tpu.ops.dense_adj import (
+                        packed_rows_to_ids,
+                    )
+
+                    # resident: slice the ≤cap owned rows from the
+                    # packed strip and unpack to ascending id lists
+                    # (order-invariant for every consumer below)
+                    rows = packed_rows_to_ids(
+                        jnp.take(strip_loc, lids_c, axis=0),
+                        rows_from_strip,
+                        n_pad,
+                    )
+                else:
+                    rows = jnp.take(neigh_loc, lids_c, axis=0)
                 rows = jnp.where(lvalid[:, None], rows, jnp.int32(n_pad))
                 cur = jnp.where(
                     lvalid,
@@ -1334,7 +1373,18 @@ def _run_sharded_segment(
                 fv_new = jax.lax.rem(fv_old + offs, jnp.int32(n_colors))
                 x_valid = fv_ok & fv_elig
                 x_lid = jnp.where(x_valid, fv_lid_c, jnp.int32(n_loc))
-                x_row = jnp.take(neigh_loc, fv_lid_c, axis=0)
+                if rows_from_strip is not None:
+                    from mcmc_colorer_tpu.ops.dense_adj import (
+                        packed_rows_to_ids,
+                    )
+
+                    x_row = packed_rows_to_ids(
+                        strip_loc[fv_lid_c][None],
+                        rows_from_strip,
+                        n_pad,
+                    )[0]
+                else:
+                    x_row = jnp.take(neigh_loc, fv_lid_c, axis=0)
                 x_row = jnp.where(x_valid, x_row, jnp.int32(n_pad))
 
                 # changed-slot arrays: the ≤cap frontier plus the flip slot
@@ -1410,14 +1460,14 @@ def _run_sharded_segment(
                 cnt_next = cnt_c + jax.lax.dynamic_slice(
                     delta, (offset,), (n_loc,)
                 )
-                return star_full, tb_next, cnt_next, key
+                return star_full, tb_next, cnt_next, key, jnp.bool_(True)
 
             # python loop over the per-device chains (cl is small & static;
             # avoids vmap-of-pallas_call)
-            stars, taboos, cnts, keys_out = [], [], [], []
+            stars, taboos, cnts, keys_out, accs = [], [], [], [], []
             for c in range(cl):
                 if cap is None:
-                    s, t, ct, k = full_branch(
+                    s, t, ct, k, a = full_branch(
                         colors_full[c], taboo[c], cnt[c], ks[c]
                     )
                 else:
@@ -1445,7 +1495,7 @@ def _run_sharded_segment(
                         (n_colors - 1) * eps_eff, jnp.float32(0.999999)
                     )
                     use_active &= (n_passive * p_per) <= jnp.float32(1.0)
-                    s, t, ct, k = jax.lax.cond(
+                    s, t, ct, k, a = jax.lax.cond(
                         use_active,
                         active_branch,
                         full_branch,
@@ -1458,10 +1508,21 @@ def _run_sharded_segment(
                 taboos.append(t)
                 cnts.append(ct)
                 keys_out.append(k)
+                accs.append(a)
             star_full = jnp.stack(stars)       # [cl, n_pad] (replicated)
             new_taboo = jnp.stack(taboos)
             new_cnt = jnp.stack(cnts)
             new_keys = jnp.stack(keys_out)
+            # per-chain acceptance bookkeeping (VERDICT r4 item 4): a
+            # frozen (converged) chain neither attempts nor accepts
+            acc_vec = jnp.stack(accs)
+            accstats = accstats + jnp.stack(
+                [
+                    (acc_vec & active).astype(jnp.int32),
+                    active.astype(jnp.int32),
+                ],
+                axis=1,
+            )
             conflicts_star = conflicts_from_cnt(new_cnt)
             # freeze finished chains
             colors_next = jnp.where(
@@ -1505,6 +1566,7 @@ def _run_sharded_segment(
                 eps_scale,
                 prev_pooled,
                 stall,
+                accstats,
             )
 
         init = (
@@ -1519,6 +1581,7 @@ def _run_sharded_segment(
             eps0,
             pp0,
             stall0,
+            accstats0,
         )
         (
             colors_full,
@@ -1532,6 +1595,7 @@ def _run_sharded_segment(
             eps_scale,
             pp_out,
             stall_out,
+            accstats_out,
         ) = jax.lax.while_loop(cond, loop_body, init)
         return (
             colors_full,
@@ -1544,6 +1608,7 @@ def _run_sharded_segment(
             eps_scale,
             pp_out,
             stall_out,
+            accstats_out,
         )
 
     state_specs = (
@@ -1557,6 +1622,7 @@ def _run_sharded_segment(
         P(),                     # eps_scale
         P(),                     # prev_pooled
         P(),                     # stall
+        P("chains", None),       # accstats [C, 2] (accepted, attempted)
     )
     if adj_strip is None:
         mapped = jax.shard_map(
@@ -1590,7 +1656,7 @@ def _sharded_init(
     n_nodes: int,
 ):
     """Initial ensemble state (random colorings, counts, trace row 0) as a
-    10-tuple matching `_run_sharded_segment`'s state specs.  With
+    11-tuple matching `_run_sharded_segment`'s state specs.  With
     ``adj_strip`` the initial counts come from the NC contraction instead
     of the neighbor gather (bit-equal; required on resident graphs whose
     shim ELL has no real neighbor rows)."""
@@ -1686,6 +1752,7 @@ def _sharded_init(
         jnp.float32(1.0),
         jnp.float32(1e30),
         jnp.int32(0),
+        jnp.zeros((keydata.shape[0], 2), jnp.int32),
     )
 
 

@@ -50,6 +50,50 @@ def timed_split(colorer, seed):
     }
 
 
+def timed_segments(make_colorer, seed):
+    """One-run phase split for loop colorers too expensive to run twice
+    (config2's full Luby loop is ~18 min at ER(100k) on the chip):
+    construction is seconds_setup; per-segment wall times are captured
+    through drive_segments' on_segment hook, and the FIRST segment's
+    excess over the median steady segment estimates the one-time remote
+    compile (the hashgen band-attribution pattern, round 5) — so every
+    report row carries the same setup/compile/steady decomposition
+    without doubling an 18-minute run (VERDICT r4 item 6)."""
+    from mcmc_colorer_tpu.utils import segmented
+
+    segs = []
+    orig = segmented.drive_segments
+
+    def spy(segment_fn, state, progress_fn, **kw):
+        user_cb = kw.pop("on_segment", None)
+
+        def on_seg(st, steps, budget, elapsed):
+            segs.append(elapsed)
+            if user_cb:
+                user_cb(st, steps, budget, elapsed)
+
+        return orig(
+            segment_fn, state, progress_fn, on_segment=on_seg, **kw
+        )
+
+    segmented.drive_segments = spy
+    try:
+        colorer, t_setup = timed(make_colorer)
+        r, t_total = timed(lambda: colorer.run(seed=seed))
+    finally:
+        segmented.drive_segments = orig
+    rest = sorted(segs[1:])
+    med = rest[len(rest) // 2] if rest else 0.0
+    compile_s = max(0.0, (segs[0] - med) if segs else 0.0)
+    return r, {
+        "seconds_setup": round(t_setup, 2),
+        "seconds_total": round(t_total, 2),
+        "seconds_compile_est": round(compile_s, 2),
+        "seconds_steady": round(t_total - compile_s, 2),
+        "segments": len(segs),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="baseline_report.json")
@@ -82,20 +126,16 @@ def main():
 
     n2 = 100_000 if not small else 2000
     g2 = erdos_renyi(n2, 0.01 if not small else 0.02, seed=2)
-    # one all-in run (the full Luby loop is ~18 min at this scale on the
-    # chip — gather-bound over ~174 colors x rounds; a separate warm-up
-    # pass would double it for a compile worth seconds)
-    colorer2 = LubyColorer(g2)
-    r2, t2 = timed(lambda: colorer2.run(seed=21))
+    r2, t2 = timed_segments(lambda: LubyColorer(g2), seed=21)
     report["config2_luby"] = {
         "n": g2.n,
         "m": g2.n_edges,
         "valid": check_coloring(g2, r2.colors),
         "colors": r2.n_colors,
-        "seconds_incl_compile": t2,
+        **t2,
     }
     print("config2:", report["config2_luby"], flush=True)
-    del colorer2, r2  # free the device ELL before the 1M config
+    del r2  # free the device ELL before the 1M config
 
     # ---- config 3: MCMC numColRatio sweep on large ER -------------------
     from mcmc_colorer_tpu.models.mcmc import MCMCColorer
@@ -227,14 +267,16 @@ def main():
         proposal=ProposalKind.BALANCE_DYNAMIC,
         tailcut=True,
     )
-    r4b, t4b = timed(lambda: MCMCColorer(g4b, p4b).run(seed=42))
+    colorer4b, t4b_setup = timed(lambda: MCMCColorer(g4b, p4b))
+    r4b, t4b = timed_split(colorer4b, seed=42)
     report["config4b_reddit_converted"] = {
         "converter": "convert_reddit_csv",
         "n": g4b.n,
         "m": g4b.n_edges,
         "valid": check_coloring(g4b, r4b.colors),
         "used_colors": r4b.used_colors,
-        "seconds": round(t4b, 2),
+        "seconds_setup": round(t4b_setup, 2),
+        **t4b,
     }
     print("config4b:", report["config4b_reddit_converted"], flush=True)
 

@@ -164,7 +164,48 @@ def main():
         "existing artifact (device-only work, ~minutes) instead of "
         "re-running the full sequential/device matrix (~hours)",
     )
+    ap.add_argument(
+        "--stall-escape-cell",
+        action="store_true",
+        help="re-run the sequential chain of every cell that recorded a "
+        "nonzero sequential_stall_rate, with params.seq_stall_escape on "
+        "(the reference's intended unlock_stall, "
+        "coloringMCMC_CPUutils.cpp:49-67), and patch "
+        "sequential_stall_rate_escape_on into the artifact",
+    )
     args = ap.parse_args()
+
+    if args.stall_escape_cell:
+        with open(args.out) as f:
+            matrix = json.load(f)
+        rc = 0
+        for c in matrix["cells"]:
+            if c.get("sequential_stall_rate", 0) <= 0:
+                continue
+            g = erdos_renyi(matrix["n"], c["p"], seed=777)
+            params = MCMCParams(
+                n_colors=c["n_colors"],
+                proposal=ProposalKind.STANDARD,
+                tailcut=True,
+                seq_stall_escape=True,
+            )
+            esc = cell(
+                lambda: SequentialMCMCColorer(g, params),
+                g, c["p"], matrix["seeds"],
+            )
+            rate = (
+                round(1.0 - esc["valid"], 3) if esc["converged"] else 0.0
+            )
+            c["sequential_stall_rate_escape_on"] = rate
+            print(
+                f"cell p={c['p']} ratio={c['ratio']}: stall "
+                f"{c['sequential_stall_rate']} -> {rate} with escape on"
+            )
+            rc |= rate > 0
+        with open(args.out, "w") as f:
+            json.dump(matrix, f, indent=1)
+        print("patched →", args.out)
+        return rc
 
     if args.patch:
         with open(args.out) as f:

@@ -260,11 +260,13 @@ def test_sharded_resident_rejects_bad_configs():
             None, params, mesh, backend="xla",
             resident_spec=(300, 0.05, 1),
         )
-    with pytest.raises(NotImplementedError):
-        ShardedMCMCColorer(
-            None, params, mesh, active_cap=128,
-            resident_spec=(300, 0.05, 1),
-        )
+    # resident + active_cap is LEGAL since round 5 (frontier rows are
+    # sliced from the packed strip — tests/test_resident_active.py);
+    # construction must succeed
+    ShardedMCMCColorer(
+        None, params, mesh, active_cap=128,
+        resident_spec=(300, 0.05, 1),
+    )
 
 
 def test_sharded_resident_hbm_cap_precheck():
@@ -332,3 +334,66 @@ def test_hash_graph_er_statistics():
     e1 = set(map(tuple, hashgen.hash_edges_reference(800, 0.05, 11)))
     overlap = len(e0 & e1) / max(1, len(e0))
     assert overlap < 0.08, overlap  # ~p=0.05 expected under independence
+
+
+def test_resident_checkpoint_resume_bit_equal(tmp_path):
+    """Mid-chain checkpoint + resume equals the uninterrupted run
+    bit-for-bit (VERDICT r4 item 5): the graph never enters the
+    artifact — it re-derives from (n, p, seed) in the resumed
+    colorer's constructor."""
+    spec = dict(n=1200, p=0.04, graph_seed=21)
+    c0 = ResidentMCMCColorer(**{"n": spec["n"], "p": spec["p"],
+                                "graph_seed": spec["graph_seed"]})
+    p_full = MCMCParams(
+        n_colors=max(4, c0.max_degree * 2 // 3),
+        proposal=ProposalKind.BALANCE_DYNAMIC,
+        tailcut=True,
+        max_iterations=60,
+    )
+    full = ResidentMCMCColorer(
+        spec["n"], spec["p"], graph_seed=spec["graph_seed"], params=p_full
+    ).run(seed=5)
+
+    ck = str(tmp_path / "resident.npz")
+    # "kill" mid-chain: a cap at 2 iterations exits with the chain
+    # unfinished; the segment boundary wrote the checkpoint
+    pre = ResidentMCMCColorer(
+        spec["n"], spec["p"], graph_seed=spec["graph_seed"],
+        params=p_full.replace(max_iterations=2),
+    )
+    r_pre = pre.run(seed=5, checkpoint_path=ck)
+    assert r_pre.iterations == 2
+
+    resumed = ResidentMCMCColorer(
+        spec["n"], spec["p"], graph_seed=spec["graph_seed"], params=p_full
+    ).run(seed=5, resume_from=ck)
+    assert resumed.iterations == full.iterations
+    np.testing.assert_array_equal(resumed.colors, full.colors)
+    assert resumed.extra["final_conflicts"] == full.extra["final_conflicts"]
+
+
+def test_resident_checkpoint_spec_mismatch(tmp_path):
+    c = ResidentMCMCColorer(600, 0.05, graph_seed=9)
+    ck = str(tmp_path / "a.npz")
+    c.run(seed=1, checkpoint_path=ck)
+    other = ResidentMCMCColorer(600, 0.05, graph_seed=10)
+    with pytest.raises(AssertionError, match="graph spec mismatch"):
+        other.run(seed=1, resume_from=ck)
+
+
+def test_resident_ensemble_checkpoint_resume(tmp_path):
+    ck = str(tmp_path / "ens.npz")
+    c0 = ResidentMCMCColorer(800, 0.04, graph_seed=31, n_chains=4)
+    p_full = c0.params
+    full, _ = c0.run_ensemble(seed=9)
+
+    pre = ResidentMCMCColorer(
+        800, 0.04, graph_seed=31, n_chains=4,
+        params=p_full.replace(max_iterations=2),
+    )
+    pre.run_ensemble(seed=9, checkpoint_path=ck)
+    resumed, summ = ResidentMCMCColorer(
+        800, 0.04, graph_seed=31, n_chains=4, params=p_full
+    ).run_ensemble(seed=9, resume_from=ck)
+    np.testing.assert_array_equal(resumed.colors, full.colors)
+    assert len(summ) == 4
