@@ -543,7 +543,50 @@ class ResidentMCMCColorer:
             rip = int(c[3])
             return rip, bool(c[6]) or rip >= params.max_iterations
 
+        # per-segment free-color TRACE, NC-native (the resident
+        # rendition of models/mcmc.py's getStatsFreeColors lines —
+        # free[i] = #{c < nCol : NC[i, c] = 0}); zero cost when off
+        from mcmc_colorer_tpu.utils import term
+
+        fc_segments: list = []
+        if term.trace_enabled() and not hasattr(self, "_jit_free_nc"):
+            from mcmc_colorer_tpu.ops.dense_adj import (
+                neighbor_color_counts,
+            )
+
+            mask = self.ell.node_mask
+            n_real = max(self.n, 1)
+
+            def _free_nc(adj, colors):
+                nc = neighbor_color_counts(
+                    adj, colors, params.n_colors, mask
+                )
+                col_ok = (
+                    jnp.arange(nc.shape[1], dtype=jnp.int32)
+                    < params.n_colors
+                )
+                free = jnp.sum(
+                    (nc == 0) & col_ok[None, :], axis=1,
+                    dtype=jnp.int32,
+                )
+                mn = jnp.min(
+                    jnp.where(mask, free, jnp.int32(params.n_colors + 1))
+                )
+                mx = jnp.max(jnp.where(mask, free, jnp.int32(-1)))
+                avg = jnp.sum(jnp.where(mask, free, 0)) / n_real
+                return mn, mx, avg
+
+            self._jit_free_nc = jax.jit(_free_nc)
+
         def on_seg(state, steps, budget, elapsed):
+            if term.trace_enabled():
+                mn, mx, avg = self._jit_free_nc(self.adj, state[0])
+                mn, mx, avg = int(mn), int(mx), float(avg)
+                fc_segments.append((mn, mx, avg))
+                term.trace(
+                    f"Max Free Colors: {mx} - Min Free Colors: {mn} - "
+                    f"AVG Free Colors: {avg:g}"
+                )
             if checkpoint_path:
                 self.save_checkpoint(state, checkpoint_path)
 
@@ -596,6 +639,11 @@ class ResidentMCMCColorer:
                 "tailcut_rounds": tc_rounds,
                 "resident": True,
                 "gen_seconds": self.gen_seconds,
+                **(
+                    {"free_color_trace_segments": fc_segments}
+                    if fc_segments
+                    else {}
+                ),
             },
         )
 

@@ -397,3 +397,39 @@ def test_resident_ensemble_checkpoint_resume(tmp_path):
     ).run_ensemble(seed=9, resume_from=ck)
     np.testing.assert_array_equal(resumed.colors, full.colors)
     assert len(summ) == 4
+
+
+def test_hashgen_slow_device_flag_and_retry(monkeypatch, tmp_path):
+    """With the machine's calibrated best set absurdly high, the stats
+    path must flag slow_device, run the one-band retry probe, and NOT
+    overwrite the calibration with the 'slow' rate."""
+    import json
+
+    from mcmc_colorer_tpu.utils import calibration
+
+    cal = tmp_path / "cal.json"
+    key = hashgen._hashgen_cal_key()
+    cal.write_text(json.dumps({key: 1e18}))
+    monkeypatch.setenv("MCMC_COLORER_CALIBRATION", str(cal))
+    calibration._loaded = None  # force re-read from the patched path
+    try:
+        s = {}
+        hashgen.er_packed_on_device(1500, 0.02, 3, 2048, 1024, stats=s)
+        assert s["slow_device"] is True
+        assert s["calibrated_rate_e9"] == 1e9  # 1e18 hashes/s
+        assert "retry_band_s" in s and "retry_rate_e9" in s
+        assert json.loads(cal.read_text())[key] == 1e18  # untouched
+    finally:
+        calibration.reset_for_tests()
+
+
+def test_resident_free_color_trace(monkeypatch):
+    """NC-native per-segment free-color stats under TRACE (the resident
+    rendition of the reference's getStatsFreeColors lines)."""
+    monkeypatch.setenv("MCMC_COLORER_TRACE", "1")
+    c = ResidentMCMCColorer(800, 0.04, graph_seed=31)
+    r = c.run(seed=3)
+    segs = r.extra.get("free_color_trace_segments")
+    assert segs
+    for mn, mx, avg in segs:
+        assert 0 <= mn <= avg <= mx <= c.params.n_colors
