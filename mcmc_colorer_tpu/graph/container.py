@@ -228,13 +228,31 @@ class Graph:
         degs = self.degrees
         rect_bytes = n_pad * d_pad * 4
         csr_bytes = (self.cols.shape[0] + self.n + 1) * 4
+        # evict a smaller-or-equal cached rectangle BEFORE building the
+        # new one (the "largest wins" rule used to run after): at
+        # ER(1M) the old 4.7 GB rectangle + the 4 GB CSR upload + the
+        # new 4.7 GB rectangle exceed HBM — eviction order is what
+        # OOM'd the round-5 config3 ratio sweep
+        cache_max = max((a * b for a, b in cache), default=0)
+        if cache and n_pad * d_pad >= cache_max:
+            cache.clear()
         if device_build is None:
             # auto: rectangle large enough that transfer dominates the
-            # remote band compile (~1-2 s), and meaningfully larger than
-            # the CSR (always true unless d_pad ~ d_mean with no skew)
+            # remote band compile (~1-2 s), and either meaningfully
+            # larger than the CSR (skewed degrees) or so large that the
+            # HOST-side rectangle materialisation + full-rectangle
+            # upload dominates regardless (the ER(1M) config paid
+            # ~735 s of setup through the host path, round 4 report —
+            # the device build ships 2m+n words and scatters on chip)
             device_build = (
                 rect_bytes > 32 * 1024 * 1024
-                and rect_bytes > 1.3 * csr_bytes
+                and (
+                    rect_bytes > 1.3 * csr_bytes
+                    or rect_bytes > 512 * 1024 * 1024
+                )
+                # int32 CSR index space (beyond it, the host path still
+                # works; explicit device_build=True raises instead)
+                and self.cols.shape[0] + 1 < 2**31
             )
         if device_build:
             from mcmc_colorer_tpu.ops.ell_build import (

@@ -466,3 +466,29 @@ def test_cli_resident_luby(tmp_path):
     with pytest.raises(SystemExit):  # no mesh for resident Luby
         cli_main(["--simulate", "0.05", "-n", "100", "--lubygpu",
                   "--resident", "--mesh-shards", "2", "--quiet"])
+
+
+def test_cli_resident_ckpt_resume_and_active(tmp_path):
+    """Round-5 surface: --ckpt writes a resumable artifact (same -S
+    seed re-derives the graph), --resume completes validly, and
+    --resident --active runs the frontier mode end-to-end."""
+    out = tmp_path / "o1"
+    ck = tmp_path / "run.npz"
+    base = [
+        "--simulate", "0.05", "-n", "400", "--mcmcgpu", "--resident",
+        "--tailcut", "--seed", "7", "--check", "--quiet",
+    ]
+    rc = cli_main(base + ["--ckpt", str(ck), "--outDir", str(out)])
+    assert rc == 0 and ck.exists()
+    rc = cli_main(
+        base + ["--resume", str(ck), "--outDir", str(tmp_path / "o2")]
+    )
+    assert rc == 0
+    rc = cli_main(
+        [
+            "--simulate", "0.05", "-n", "400", "--mcmcgpu", "--resident",
+            "--active", "--tailcut", "--seed", "7", "--check",
+            "--quiet", "--outDir", str(tmp_path / "o3"),
+        ]
+    )
+    assert rc == 0
