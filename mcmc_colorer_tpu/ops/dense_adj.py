@@ -473,29 +473,48 @@ def packed_rows_to_ids(bits, d_row: int, n_pad: int):
     order differs from the CSR ELL (ascending vs insertion order), but
     every consumer is order-invariant (occupancy, NC, cnt recounts are
     set/sum reductions); bit-equality of the id SETS is tested against
-    the host ELL.  Callers pass ``d_row`` ≥ max degree."""
+    the host ELL.  Callers pass ``d_row`` ≥ max degree.
+
+    The unpack is processed in ROW BLOCKS: the intermediate is
+    [block, 32·words] int32 (one dense column-id row per bit), and a
+    monolithic [cap, n_pad] at the CLI's cap = n/8 would be tens of GB
+    — the block bound keeps it ≤ ~48 MB at any cap."""
+    import jax
     import jax.numpy as jnp
 
     k, words = bits.shape
+    row_block = max(
+        8, min(k, (48 * 1024 * 1024) // max(words * 32 * 4, 1))
+    )
+    kp = -(-k // row_block) * row_block
+    if kp != k:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((kp - k, words), bits.dtype)]
+        )
     b = jnp.arange(32, dtype=jnp.uint32)
-    m = ((bits[:, :, None] >> b[None, None, :]) & jnp.uint32(1)) != 0
     w = jnp.arange(words, dtype=jnp.int32)
     col = (
         (w // 128)[:, None] * PACKED_K_CHUNK
         + b.astype(jnp.int32)[None, :] * 128
         + (w % 128)[:, None]
     )  # [words, 32] column of (word, bit) — inverse of packed_bit_coords
-    idx = jnp.where(m, col[None], jnp.int32(n_pad))
-    # lax.slice, not [:, :d_row]: the python slice routes through the
-    # dynamic-gather path when the operand carries a sharding, and its
-    # bound then fails the static-slice check
-    import jax
 
-    return jax.lax.slice(
-        jnp.sort(idx.reshape(k, words * 32), axis=1),
-        (0, 0),
-        (k, d_row),
-    )
+    def blk(bb):
+        m = ((bb[:, :, None] >> b[None, None, :]) & jnp.uint32(1)) != 0
+        idx = jnp.where(m, col[None], jnp.int32(n_pad))
+        # lax.slice, not [:, :d_row]: the python slice routes through
+        # the dynamic-gather path when the operand carries a sharding,
+        # and its bound then fails the static-slice check
+        return jax.lax.slice(
+            jnp.sort(idx.reshape(row_block, words * 32), axis=1),
+            (0, 0),
+            (row_block, d_row),
+        )
+
+    out = jax.lax.map(
+        blk, bits.reshape(kp // row_block, row_block, words)
+    ).reshape(kp, d_row)
+    return jax.lax.slice(out, (0, 0), (k, d_row))
 
 
 def build_packed_adjacency(graph, n_pad: int):
