@@ -146,6 +146,19 @@ def er_packed_on_device(
         raise ValueError(f"row_chunk must divide n_pad ({n_pad})")
     words = packed_adj_words(n_pad)
     row_chunk = _wall_safe_chunk(row_chunk, words)
+    # each band dispatch pays the ~23 ms tunnel roundtrip floor even
+    # when its compute is ~10 ms, so GROUP bands into the largest
+    # row count that still divides n_pad and stays well inside the
+    # execution wall (n_pad = 2048·49 at the bench config: 49 bands
+    # → 7, saving ~1 s of pure dispatch latency per generation)
+    cap_rows = max(
+        row_chunk, 2_500_000_000 // max(words * 32, 1)
+    )
+    best_g = 1
+    for g in range(2, n_pad // row_chunk + 1):
+        if n_pad % (row_chunk * g) == 0 and row_chunk * g <= cap_rows:
+            best_g = g
+    row_chunk *= best_g
     t = jnp.uint32(er_threshold(p))
     seed32 = jnp.uint32(seed & 0xFFFFFFFF)
 
