@@ -302,6 +302,14 @@ def _check_resident_args(args) -> None:
             file=sys.stderr,
         )
         sys.exit(2)
+    if args.active and (args.ckpt or args.resume) and not on_mesh:
+        print(
+            "--resident --active does not checkpoint (the frontier "
+            "loop's cnt re-derives from colors); drop --ckpt/--resume "
+            "or use full sweeps.",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     if args.active and args.chains > 1 and not on_mesh:
         print(
             "--resident --active is single-chain (or mesh): drop "
@@ -477,8 +485,8 @@ class _DbgWrapper:
         self.inner = inner
         self.dbg = dbg
 
-    def run(self, seed, repetition=0):
-        return self.inner.run(seed, repetition, dbg=self.dbg)
+    def run(self, seed, repetition=0, **kw):
+        return self.inner.run(seed, repetition, dbg=self.dbg, **kw)
 
 
 class _BestOfWrapper:
@@ -668,13 +676,28 @@ def main(argv=None) -> int:
         for rep in range(args.repet):
             run_kw = {}
             target = getattr(colorer, "inner", colorer)
-            if (args.ckpt or args.resume) and hasattr(
-                target, "save_checkpoint"
-            ):
-                if args.ckpt:
-                    run_kw["checkpoint_path"] = args.ckpt
-                if args.resume and rep == 0:
-                    run_kw["resume_from"] = args.resume
+            if args.ckpt or args.resume:
+                if hasattr(target, "save_checkpoint"):
+                    if args.ckpt:
+                        run_kw["checkpoint_path"] = args.ckpt
+                    if args.resume and rep == 0:
+                        run_kw["resume_from"] = args.resume
+                elif args.resume:
+                    # silently re-running from iteration 0 would let an
+                    # operator believe they resumed (review r5)
+                    print(
+                        f"--resume: {tag} does not support "
+                        f"checkpointing; refusing to restart silently.",
+                        file=sys.stderr,
+                    )
+                    sys.exit(2)
+                else:
+                    print(
+                        f"--ckpt ignored: {tag} does not support "
+                        f"checkpointing (resident/sharded/stepped "
+                        f"drivers do).",
+                        file=sys.stderr,
+                    )
             result = colorer.run(seed, repetition=rep, **run_kw)
             log_path, _ = save_run(
                 out_dir,

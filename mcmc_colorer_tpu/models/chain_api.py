@@ -332,8 +332,10 @@ class SteppedMCMC:
     # ---- checkpointing --------------------------------------------------
 
     def save_checkpoint(self, state: ChainState, path: str) -> None:
+        # tmp + atomic rename (review r5: no truncated artifacts)
+        tmp = path + ".tmp.npz"
         np.savez(
-            path,
+            tmp,
             colors=np.asarray(state.colors),
             taboo=np.asarray(state.taboo),
             key=np.asarray(jax.random.key_data(state.key)),
@@ -343,6 +345,9 @@ class SteppedMCMC:
             n_nodes=self.graph.n,
             layout=self.layout,
         )
+        import os
+
+        os.replace(tmp, path if path.endswith(".npz") else path + ".npz")
 
     def load_checkpoint(self, path: str) -> ChainState:
         if not path.endswith(".npz"):

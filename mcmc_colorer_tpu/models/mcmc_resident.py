@@ -347,8 +347,12 @@ class ResidentMCMCColorer:
 
     def save_checkpoint(self, carry, path: str) -> None:
         colors, taboo, key, rip, conf, trace, done = carry
+        # tmp + atomic rename: the write happens at every segment
+        # boundary, and a kill mid-write must not destroy the previous
+        # good artifact (the exact crash the feature exists for)
+        tmp = path + ".tmp.npz"
         np.savez(
-            path,
+            tmp,
             colors=np.asarray(colors),
             taboo=np.asarray(taboo),
             key=np.asarray(jax.random.key_data(key)),
@@ -361,6 +365,9 @@ class ResidentMCMCColorer:
             graph_seed=self.graph_seed,
             n_colors=self.params.n_colors,
         )
+        import os
+
+        os.replace(tmp, path if path.endswith(".npz") else path + ".npz")
 
     def load_checkpoint(self, path: str):
         if not path.endswith(".npz"):
@@ -431,7 +438,12 @@ class ResidentMCMCColorer:
                 break
         colors, taboo, key, rip_t, _conf, trace_full, _done = carry
         rip = int(rip_t)
-        trace = np.asarray(trace_full)[: rip + 1].tolist()
+        # drop unwritten -1 sentinel slots (a cap exit can leave one)
+        trace = [
+            int(x)
+            for x in np.asarray(trace_full)[: rip + 1]
+            if int(x) >= 0
+        ]
 
         backend = (
             "pallas"
@@ -440,13 +452,18 @@ class ResidentMCMCColorer:
         )
         caps = _buckets(n_pad, 128, 16 if backend == "pallas" else 4)
         cnt = self._jit_cnt_packed(self.adj, colors)
-        conflicts = 0
-        while rip < params.max_iterations:
+        # measure-first loop: the stats of the CURRENT coloring are
+        # re-read after the last iteration too, so a cap exit (in
+        # either phase) reports the real conflict count and the
+        # tailcut gate below sees it (review r5: the old loop left
+        # conflicts stale — 0 if phase 1 exhausted max_iterations —
+        # faking convergence and skipping an enabled tailcut)
+        while True:
             n_active, conflicts = map(
                 int, jax.device_get(self._jit_stats(cnt, taboo))
             )
             trace.append(conflicts)
-            if conflicts <= z:
+            if conflicts <= z or rip >= params.max_iterations:
                 break
             rip += 1
             key, k_it = jax.random.split(key)

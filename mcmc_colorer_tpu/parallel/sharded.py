@@ -442,7 +442,13 @@ class ShardedMCMCColorer:
         d["n_nodes"] = self.graph.n
         d["n_colors"] = self.params.n_colors
         d["n_chains"] = self.n_chains
-        np.savez(path, **d)
+        # tmp + atomic rename: a kill mid-write must not destroy the
+        # previous good checkpoint (review r5)
+        import os
+
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **d)
+        os.replace(tmp, path if path.endswith(".npz") else path + ".npz")
 
     def load_checkpoint(self, path: str):
         """Rebuild device-resident ensemble state from an ``.npz``; the

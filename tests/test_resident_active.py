@@ -136,3 +136,35 @@ def test_sharded_resident_active_matches_ell_backed():
     np.testing.assert_array_equal(best_r.colors, best_e.colors)
     assert best_r.extra["final_conflicts"] == 0
     assert check_coloring(g, best_r.colors)
+
+
+def test_resident_active_cap_exit_reports_real_conflicts():
+    """Review r5: a run that exhausts max_iterations must report the
+    REAL conflict count of its final coloring (and run the enabled
+    tailcut against it) — the old loop left conflicts stale (0 when
+    phase 1 ate the whole budget), faking convergence."""
+    c = ResidentMCMCColorer(
+        400, 0.2, graph_seed=5,
+        params=MCMCParams(n_colors=3, tailcut=False, max_iterations=3),
+        active=True,
+    )
+    r = c.run(seed=1)
+    g = c.host_graph()
+    valid = check_coloring(g, r.colors)
+    assert r.extra["final_conflicts"] > 0 and not r.converged
+    assert not valid
+    assert all(x >= 0 for x in r.conflict_trace)
+    # with tailcut on and a maxdeg palette (free colors always exist),
+    # the repair must actually engage on the cap-exited coloring and
+    # finish — not be skipped by a stale conflicts=0
+    c2 = ResidentMCMCColorer(
+        400, 0.2, graph_seed=5,
+        params=MCMCParams(
+            n_colors=c.max_degree, tailcut=True, max_iterations=2
+        ),
+        active=True,
+    )
+    r2 = c2.run(seed=1)
+    assert r2.extra["tailcut_rounds"] >= 1
+    assert r2.extra["final_conflicts"] == 0
+    assert check_coloring(g, r2.colors)
