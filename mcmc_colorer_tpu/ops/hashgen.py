@@ -309,6 +309,15 @@ def er_packed_strips_on_device(
         row_chunk //= 2
     words = packed_adj_words(n_pad)
     row_chunk = _wall_safe_chunk(row_chunk, words)
+    # group bands like er_packed_on_device: each dispatch pays the
+    # ~23 ms tunnel roundtrip floor, so use the largest row count that
+    # divides n_loc and stays inside the wall budget
+    cap_rows = max(row_chunk, 2_500_000_000 // max(words * 32, 1))
+    best = 1
+    for g in range(2, n_loc // row_chunk + 1):
+        if n_loc % (row_chunk * g) == 0 and row_chunk * g <= cap_rows:
+            best = g
+    row_chunk *= best
     t = jnp.uint32(er_threshold(p))
     seed32 = jnp.uint32(seed & 0xFFFFFFFF)
 
